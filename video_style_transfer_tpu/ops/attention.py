@@ -1,0 +1,80 @@
+"""Scaled-dot-product attention dispatch.
+
+Replaces the reference's F.scaled_dot_product_attention / xformers calls
+(unzip_attention_processor.py:737-739) with TPU-native implementations:
+
+- 'xla'    : plain dot-generals — XLA fuses softmax; optimal for the short
+             cross-attn (kv=77) and temporal (F<=32) sequences.
+- 'pallas' : fused flash-attention kernel (ops/flash_attention.py) for the
+             long spatial self-attention sequences (up to 4096 tokens).
+- 'auto'   : picks per shape.
+
+All entry points take (B, S, H, D)-shaped q/k/v ("BSHD") and return the
+same layout, which keeps the surrounding reshapes layout-friendly on TPU.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# Spatial self-attention at SDXL resolutions reaches 4096 tokens; beyond
+# this threshold the fused kernel beats XLA's unfused softmax-matmul chain.
+_FLASH_MIN_SEQ = 1024
+
+
+def sdpa_xla(q, k, v, *, scale: Optional[float] = None):
+    """Reference-math attention via dot_general; fp32 softmax."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    orig_dtype = q.dtype
+    # (B, S, H, D) -> (B, H, S, D)
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    logits = jnp.einsum("bhsd,bhtd->bhst", qt, kt,
+                        preferred_element_type=jnp.float32) * scale
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhst,bhtd->bhsd", weights.astype(orig_dtype), vt,
+                     preferred_element_type=jnp.float32)
+    return jnp.swapaxes(out.astype(orig_dtype), 1, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("impl",))
+def _sdpa_jit(q, k, v, impl):
+    return _sdpa_impl(q, k, v, impl=impl)
+
+
+def _sdpa_impl(q, k, v, *, impl: str):
+    if impl == "pallas":
+        from video_style_transfer_tpu.ops.flash_attention import flash_attention
+        return flash_attention(q, k, v)
+    return sdpa_xla(q, k, v)
+
+
+def sdpa(q, k, v, *, impl: str = "auto"):
+    """q, k, v: (B, S, H, D). Returns (B, S, H, D)."""
+    if impl == "auto":
+        seq_q, seq_k = q.shape[1], k.shape[1]
+        head_dim = q.shape[-1]
+        on_tpu = jax.default_backend() == "tpu"
+        if (on_tpu and seq_q >= _FLASH_MIN_SEQ and seq_k >= _FLASH_MIN_SEQ
+                and head_dim in (64, 128)):
+            impl = "pallas"
+        else:
+            impl = "xla"
+    return _sdpa_impl(q, k, v, impl=impl)
+
+
+def split_heads(x, num_heads: int):
+    """(B, S, H*D) -> (B, S, H, D)"""
+    b, s, hd = x.shape
+    return x.reshape(b, s, num_heads, hd // num_heads)
+
+
+def merge_heads(x):
+    """(B, S, H, D) -> (B, S, H*D)"""
+    b, s, h, d = x.shape
+    return x.reshape(b, s, h * d)
