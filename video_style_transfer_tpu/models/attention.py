@@ -1,0 +1,90 @@
+"""Multi-head attention with UnZipLoRA triple-stream projections.
+
+Functional replacement for the reference's Attention subclass + processor
+classes (unzip_attention_processor.py:25-181, :664-759). The reference
+routes content/style hidden states through dual-input LoRACompatibleLinear
+wrappers; here each projection is `dual_linear` over a params dict that may
+carry a 'lora' (UnZipLoRA) or 'tlora' (temporal LoRA) entry, and the
+"processor" logic is one pure function.
+
+Threading semantics (reference AttnProcessor2_0, :707-749):
+  - q and out projections: content/style streams = the hidden states
+  - self-attention k/v:   content/style streams = the hidden states
+  - cross-attention k/v:  the three separately-encoded prompt embeddings
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from video_style_transfer_tpu.lora.unzip import dual_linear
+from video_style_transfer_tpu.lora.temporal import apply_temporal_lora
+from video_style_transfer_tpu.models import layers
+from video_style_transfer_tpu.ops.attention import merge_heads, sdpa, split_heads
+
+
+def init_attention(key, query_dim: int, *, heads: int,
+                   dim_head: Optional[int] = None,
+                   cross_attention_dim: Optional[int] = None,
+                   out_bias: bool = True, dtype=jnp.float32):
+    if dim_head is None:
+        dim_head = query_dim // heads
+    inner = heads * dim_head
+    kv_dim = cross_attention_dim or query_dim
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    return {
+        "to_q": layers.init_linear(kq, query_dim, inner, bias=False, dtype=dtype),
+        "to_k": layers.init_linear(kk, kv_dim, inner, bias=False, dtype=dtype),
+        "to_v": layers.init_linear(kv, kv_dim, inner, bias=False, dtype=dtype),
+        "to_out": layers.init_linear(ko, inner, query_dim, bias=out_bias,
+                                     dtype=dtype),
+    }
+
+
+def _proj(p, st, name, x, x_c, x_s, mode):
+    sub = None if st is None else st.get(name)
+    y = dual_linear(p[name], x, x_c, x_s, mode=mode, state=sub)
+    if "tlora" in p[name]:
+        y = y + apply_temporal_lora(p[name]["tlora"], x)
+    return y
+
+
+def attention(p, x, ctx: Optional[Tuple] = None, *, heads: int,
+              mode: str = "base", state=None, impl: str = "auto"):
+    """x: (N, S, C). ctx: None for self-attention, or a
+    (combined, content, style) tuple of encoder states for cross-attention
+    (content/style may be None -> fall back to combined)."""
+    q = _proj(p, state, "to_q", x, x, x, mode)
+    if ctx is None:
+        c = c_c = c_s = x
+    else:
+        c, c_c, c_s = ctx
+        c_c = c if c_c is None else c_c
+        c_s = c if c_s is None else c_s
+    k = _proj(p, state, "to_k", c, c_c, c_s, mode)
+    v = _proj(p, state, "to_v", c, c_c, c_s, mode)
+
+    q = split_heads(q, heads)
+    k = split_heads(k, heads)
+    v = split_heads(v, heads)
+    o = merge_heads(sdpa(q, k, v, impl=impl))
+    return _proj(p, state, "to_out", o, o, o, mode)
+
+
+def init_feed_forward(key, dim: int, *, mult: int = 4, dtype=jnp.float32):
+    """GEGLU MLP (diffusers FeedForward with GEGLU activation)."""
+    k1, k2 = jax.random.split(key)
+    inner = dim * mult
+    return {
+        "proj": layers.init_linear(k1, dim, inner * 2, dtype=dtype),
+        "out": layers.init_linear(k2, inner, dim, dtype=dtype),
+    }
+
+
+def feed_forward(p, x):
+    h = layers.linear(p["proj"], x)
+    h, gate = jnp.split(h, 2, axis=-1)
+    h = h * layers.gelu(gate)
+    return layers.linear(p["out"], h)

@@ -1,0 +1,280 @@
+"""SDXL UNet2DCondition — functional, NHWC, motion-module-ready.
+
+Re-design of the reference's subclass tower (unet_2d_condition.py:37-655,
+unet_block.py:461-924) as one init/apply pair over a params pytree whose
+keys mirror diffusers module paths (down_blocks.N.attentions.M...), making
+checkpoint interop mechanical.
+
+The triple encoder-hidden-states threading (combined/content/style,
+reference unet_2d_condition.py:353-368, :552-632) is an explicit ``ctx``
+tuple; the forward_type switch is the static ``mode``; AnimateDiff motion
+modules (reference: diffusers UNetMotionModel assembled by
+animatediff/utils.py:13-53) are first-class sub-modules gated by
+``cfg.use_motion_modules``.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from video_style_transfer_tpu.config import CROSS, DOWN, UP, UNetConfig
+from video_style_transfer_tpu.models import layers
+from video_style_transfer_tpu.models.embeddings import (
+    init_timestep_embedding, sdxl_add_embedding, sinusoidal_embedding,
+    timestep_embedding)
+from video_style_transfer_tpu.models.motion import (
+    init_motion_module, motion_module)
+from video_style_transfer_tpu.models.resnet import (
+    downsample, init_downsample, init_resnet_block, init_upsample,
+    resnet_block, upsample)
+from video_style_transfer_tpu.models.transformer import (
+    init_transformer_2d, transformer_2d)
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_unet(key, cfg: UNetConfig, dtype=jnp.float32):
+    keys = iter(jax.random.split(key, 4096))
+    nxt = lambda: next(keys)  # noqa: E731
+    ch = cfg.block_out_channels
+    temb_dim = cfg.time_embed_dim
+
+    p = {
+        "conv_in": layers.init_conv(nxt(), cfg.in_channels, ch[0], 3,
+                                    dtype=dtype),
+        "time_embedding": init_timestep_embedding(nxt(), ch[0], temb_dim,
+                                                  dtype=dtype),
+        "add_embedding": init_timestep_embedding(
+            nxt(), cfg.projection_class_embeddings_input_dim, temb_dim,
+            dtype=dtype),
+    }
+
+    def motion(channels):
+        return init_motion_module(
+            nxt(), channels, num_layers=cfg.motion_layers_per_block,
+            heads=cfg.motion_num_attention_heads,
+            norm_num_groups=cfg.norm_num_groups, dtype=dtype)
+
+    # --- down blocks -------------------------------------------------------
+    down_blocks = []
+    out_c = ch[0]
+    for i, btype in enumerate(cfg.down_block_types):
+        in_c, out_c = out_c, ch[i]
+        block = {"resnets": [], "attentions": [], "motion_modules": []}
+        for j in range(cfg.layers_per_block):
+            block["resnets"].append(init_resnet_block(
+                nxt(), in_c if j == 0 else out_c, out_c,
+                temb_channels=temb_dim, dtype=dtype))
+            if btype == CROSS:
+                block["attentions"].append(init_transformer_2d(
+                    nxt(), out_c,
+                    num_layers=cfg.transformer_layers_per_block[i],
+                    heads=cfg.num_attention_heads[i],
+                    cross_attention_dim=cfg.cross_attention_dim,
+                    norm_num_groups=cfg.norm_num_groups, dtype=dtype))
+            if cfg.use_motion_modules:
+                block["motion_modules"].append(motion(out_c))
+        if i < len(cfg.down_block_types) - 1:
+            block["downsamplers"] = [init_downsample(nxt(), out_c,
+                                                     dtype=dtype)]
+        down_blocks.append(block)
+    p["down_blocks"] = down_blocks
+
+    # --- mid ---------------------------------------------------------------
+    mid_c = ch[-1]
+    p["mid_block"] = {
+        "resnets": [
+            init_resnet_block(nxt(), mid_c, mid_c, temb_channels=temb_dim,
+                              dtype=dtype),
+            init_resnet_block(nxt(), mid_c, mid_c, temb_channels=temb_dim,
+                              dtype=dtype),
+        ],
+        "attentions": [init_transformer_2d(
+            nxt(), mid_c,
+            num_layers=cfg.transformer_layers_per_block[-1],
+            heads=cfg.num_attention_heads[-1],
+            cross_attention_dim=cfg.cross_attention_dim,
+            norm_num_groups=cfg.norm_num_groups, dtype=dtype)],
+    }
+    if cfg.use_motion_modules and cfg.motion_mid_block:
+        p["mid_block"]["motion_modules"] = [motion(mid_c)]
+
+    # --- up blocks ---------------------------------------------------------
+    # Simulate the down-path skip-channel stack to size up-resnet inputs.
+    skip_channels = [ch[0]]
+    c = ch[0]
+    for i in range(len(cfg.down_block_types)):
+        c = ch[i]
+        skip_channels += [c] * cfg.layers_per_block
+        if i < len(cfg.down_block_types) - 1:
+            skip_channels.append(c)
+
+    up_blocks = []
+    rev_ch = list(reversed(ch))
+    cur = mid_c
+    for i, btype in enumerate(cfg.up_block_types):
+        out_c = rev_ch[i]
+        tf_idx = len(ch) - 1 - i
+        block = {"resnets": [], "attentions": [], "motion_modules": []}
+        for j in range(cfg.layers_per_block + 1):
+            skip_c = skip_channels.pop()
+            block["resnets"].append(init_resnet_block(
+                nxt(), cur + skip_c, out_c, temb_channels=temb_dim,
+                dtype=dtype))
+            cur = out_c
+            if btype == CROSS:
+                block["attentions"].append(init_transformer_2d(
+                    nxt(), out_c,
+                    num_layers=cfg.transformer_layers_per_block[tf_idx],
+                    heads=cfg.num_attention_heads[tf_idx],
+                    cross_attention_dim=cfg.cross_attention_dim,
+                    norm_num_groups=cfg.norm_num_groups, dtype=dtype))
+            if cfg.use_motion_modules:
+                block["motion_modules"].append(motion(out_c))
+        if i < len(cfg.up_block_types) - 1:
+            block["upsamplers"] = [init_upsample(nxt(), out_c, dtype=dtype)]
+        up_blocks.append(block)
+    p["up_blocks"] = up_blocks
+
+    p["conv_norm_out"] = layers.init_group_norm(ch[0], dtype)
+    p["conv_out"] = layers.init_conv(nxt(), ch[0], cfg.out_channels, 3,
+                                     dtype=dtype)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------
+
+def _sub(state, *path):
+    """Safely index a (possibly missing) mirrored state tree."""
+    cur = state
+    for k in path:
+        if cur is None:
+            return None
+        if isinstance(k, int):
+            cur = cur[k] if isinstance(cur, (list, tuple)) and k < len(cur) \
+                else None
+        else:
+            cur = cur.get(k) if isinstance(cur, dict) else None
+    return cur
+
+
+def unet_apply(params, cfg: UNetConfig, sample, timesteps, ctx: Tuple,
+               pooled_text, time_ids, *, mode: str = "base", state=None,
+               num_frames: int = 1, impl: str = "auto", remat: bool = False):
+    """Denoiser forward.
+
+    sample:      (N, H, W, C_in), N = batch * num_frames
+    timesteps:   scalar or (B,)
+    ctx:         (combined, content, style) prompt embeddings, each
+                 (B, S, cross_attention_dim); content/style may be None
+    pooled_text: (B, pooled_dim)  — SDXL text_embeds added conditioning
+    time_ids:    (B, 6)           — SDXL micro-conditioning ids
+    """
+    n = sample.shape[0]
+    b = n // num_frames
+    dt = sample.dtype
+
+    # ---- time + added conditioning (fp32 math, cast at use) --------------
+    ts = jnp.asarray(timesteps)
+    if ts.ndim == 0:
+        ts = jnp.full((b,), ts)
+    t_emb = sinusoidal_embedding(ts, cfg.block_out_channels[0],
+                                 flip_sin_to_cos=cfg.flip_sin_to_cos,
+                                 freq_shift=cfg.freq_shift)
+    emb = timestep_embedding(params["time_embedding"], t_emb)
+    emb = emb + sdxl_add_embedding(
+        params["add_embedding"], pooled_text, time_ids,
+        addition_time_embed_dim=cfg.addition_time_embed_dim,
+        flip_sin_to_cos=cfg.flip_sin_to_cos, freq_shift=cfg.freq_shift)
+    if num_frames > 1:
+        emb = jnp.repeat(emb, num_frames, axis=0)
+    emb = emb.astype(dt)
+
+    # ---- broadcast prompt ctx over frames --------------------------------
+    def _rep(e):
+        if e is None:
+            return None
+        if e.shape[0] != n:
+            e = jnp.repeat(e, num_frames, axis=0)
+        return e.astype(dt)
+
+    ctx = tuple(_rep(e) for e in ctx)
+
+    groups = cfg.norm_num_groups
+    motion_on = cfg.use_motion_modules and num_frames > 1
+
+    def run_motion(mm, h):
+        return motion_module(
+            mm, h, num_frames=num_frames,
+            heads=cfg.motion_num_attention_heads,
+            norm_num_groups=groups,
+            max_seq_length=cfg.motion_max_seq_length, impl=impl,
+            remat=remat)
+
+    # ---- down path --------------------------------------------------------
+    h = layers.conv2d(params["conv_in"], sample)
+    skips = [h]
+    for i, block in enumerate(params["down_blocks"]):
+        btype = cfg.down_block_types[i]
+        tf_idx = i
+        for j, rp in enumerate(block["resnets"]):
+            h = resnet_block(rp, h, emb, num_groups=groups, eps=cfg.norm_eps)
+            if btype == CROSS:
+                h = transformer_2d(
+                    block["attentions"][j], h, ctx,
+                    heads=cfg.num_attention_heads[tf_idx],
+                    norm_num_groups=groups, mode=mode,
+                    state=_sub(state, "down_blocks", i, "attentions", j),
+                    impl=impl, remat=remat)
+            if motion_on and block.get("motion_modules"):
+                h = run_motion(block["motion_modules"][j], h)
+            skips.append(h)
+        if "downsamplers" in block:
+            h = downsample(block["downsamplers"][0], h)
+            skips.append(h)
+
+    # ---- mid --------------------------------------------------------------
+    mid = params["mid_block"]
+    h = resnet_block(mid["resnets"][0], h, emb, num_groups=groups,
+                     eps=cfg.norm_eps)
+    h = transformer_2d(mid["attentions"][0], h, ctx,
+                       heads=cfg.num_attention_heads[-1],
+                       norm_num_groups=groups, mode=mode,
+                       state=_sub(state, "mid_block", "attentions", 0),
+                       impl=impl, remat=remat)
+    if motion_on and mid.get("motion_modules"):
+        h = run_motion(mid["motion_modules"][0], h)
+    h = resnet_block(mid["resnets"][1], h, emb, num_groups=groups,
+                     eps=cfg.norm_eps)
+
+    # ---- up path -----------------------------------------------------------
+    for i, block in enumerate(params["up_blocks"]):
+        btype = cfg.up_block_types[i]
+        tf_idx = len(cfg.block_out_channels) - 1 - i
+        for j, rp in enumerate(block["resnets"]):
+            skip = skips.pop()
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = resnet_block(rp, h, emb, num_groups=groups, eps=cfg.norm_eps)
+            if btype == CROSS:
+                h = transformer_2d(
+                    block["attentions"][j], h, ctx,
+                    heads=cfg.num_attention_heads[tf_idx],
+                    norm_num_groups=groups, mode=mode,
+                    state=_sub(state, "up_blocks", i, "attentions", j),
+                    impl=impl, remat=remat)
+            if motion_on and block.get("motion_modules"):
+                h = run_motion(block["motion_modules"][j], h)
+        if "upsamplers" in block:
+            h = upsample(block["upsamplers"][0], h)
+
+    # ---- out ---------------------------------------------------------------
+    h = layers.group_norm(params["conv_norm_out"], h, num_groups=groups,
+                          eps=cfg.norm_eps)
+    h = layers.silu(h)
+    return layers.conv2d(params["conv_out"], h)
