@@ -82,7 +82,12 @@ def transformer_2d(p, x, ctx: Tuple, *, heads: int, norm_num_groups: int,
     st_blocks = st.get("transformer_blocks")
 
     for i, bp in enumerate(p["transformer_blocks"]):
-        bst = st_blocks[i] if st_blocks is not None else None
+        if st_blocks is None:
+            bst = None
+        elif isinstance(st_blocks, dict):
+            bst = st_blocks.get(i)
+        else:
+            bst = st_blocks[i]
         fn = lambda bp_, y_, ctx_, bst_: transformer_block(  # noqa: E731
             bp_, y_, ctx_, heads=heads, mode=mode, state=bst_, impl=impl)
         if remat:

@@ -151,16 +151,19 @@ def init_unet(key, cfg: UNetConfig, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 def _sub(state, *path):
-    """Safely index a (possibly missing) mirrored state tree."""
+    """Safely index a (possibly missing) mirrored state tree. State trees
+    use dicts throughout (integer indices as dict keys)."""
     cur = state
     for k in path:
         if cur is None:
             return None
-        if isinstance(k, int):
-            cur = cur[k] if isinstance(cur, (list, tuple)) and k < len(cur) \
-                else None
+        if isinstance(cur, dict):
+            cur = cur.get(k)
+        elif isinstance(cur, (list, tuple)) and isinstance(k, int) \
+                and k < len(cur):
+            cur = cur[k]
         else:
-            cur = cur.get(k) if isinstance(cur, dict) else None
+            return None
     return cur
 
 
