@@ -1,0 +1,71 @@
+"""Flash-attention kernel equivalence vs the XLA reference path
+(SURVEY.md §4 test plan item b). Runs in pallas interpreter mode on the
+CPU test mesh; the same kernel compiles for TPU."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from video_style_transfer_tpu.ops.attention import sdpa_xla
+from video_style_transfer_tpu.ops.flash_attention import flash_attention
+
+
+def _rand(shape, key, dtype=jnp.float32):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, dtype)
+
+
+@pytest.mark.parametrize("b,s,h,d", [
+    (2, 128, 2, 64),     # block-aligned
+    (1, 384, 3, 64),     # multiple kv blocks when block=128
+    (2, 200, 2, 64),     # ragged seq -> kv tail masking
+])
+def test_matches_xla(b, s, h, d):
+    q = _rand((b, s, h, d), 0)
+    k = _rand((b, s, h, d), 1)
+    v = _rand((b, s, h, d), 2)
+    got = flash_attention(q, k, v, block_q=128, block_k=128)
+    want = sdpa_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_cross_attention_shapes():
+    """kv shorter than q (77-token text cross-attn shape)."""
+    q = _rand((2, 256, 2, 64), 3)
+    k = _rand((2, 77, 2, 64), 4)
+    v = _rand((2, 77, 2, 64), 5)
+    got = flash_attention(q, k, v, block_q=128, block_k=128)
+    want = sdpa_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_bf16_io():
+    q = _rand((1, 128, 2, 64), 6, jnp.bfloat16)
+    k = _rand((1, 128, 2, 64), 7, jnp.bfloat16)
+    v = _rand((1, 128, 2, 64), 8, jnp.bfloat16)
+    got = flash_attention(q, k, v, block_q=128, block_k=128)
+    want = sdpa_xla(q, k, v)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2)
+
+
+def test_gradients_match_xla():
+    q = _rand((1, 128, 2, 64), 9)
+    k = _rand((1, 128, 2, 64), 10)
+    v = _rand((1, 128, 2, 64), 11)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, block_q=128,
+                                       block_k=128) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(sdpa_xla(q, k, v) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)

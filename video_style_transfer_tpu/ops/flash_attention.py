@@ -1,0 +1,173 @@
+"""Fused flash attention — Pallas TPU kernel.
+
+Replaces F.scaled_dot_product_attention on the UNet's hot spatial
+self-attention path (reference unzip_attention_processor.py:737-739).
+SDXL@1024^2 runs seq<=4096, head_dim 64, and a 16-frame CFG-doubled video
+batch makes the materialized (B*F*2, heads, 4096, 4096) logits of a naive
+attention ~10 GB — the fused kernel never materializes them.
+
+Design (online softmax, grid-accumulated):
+  grid = (batch*heads, num_q_blocks, num_kv_blocks); the kv axis iterates
+  fastest so k/v blocks stream through VMEM (auto double-buffered by the
+  pallas pipeline), while per-q-block running max / denominator / output
+  accumulators live in VMEM scratch across kv iterations. Logits compute
+  in fp32 on the MXU; probabilities are cast back to the value dtype for
+  the p@v matmul.
+
+Backward: custom_vjp whose bwd recomputes attention with the XLA path
+(exact gradients; the forward's memory win is what matters for inference
+— training wraps blocks in remat anyway). Dedicated bwd kernels are a
+planned optimization.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Tuned on v5e at SDXL shapes (B*H=80, S=4096, D=64):
+#   512/512: 23 TF/s, 512/1024: 38 TF/s, 1024/1024: 38 TF/s (XLA: 8 TF/s)
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_K = 1024
+NEG_INF = -1e30
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                 scale: float, kv_seq: int, block_k: int):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]                       # (bq, d)
+    k = k_ref[0]                       # (bk, d)
+    v = v_ref[0]                       # (bk, d)
+
+    # mask padded kv tail (when kv_seq % block_k != 0): the padded region
+    # of k/v is uninitialized, so both the logits AND v must be masked —
+    # exp(NEG_INF) == 0 does not save us because 0 * garbage may be NaN.
+    tail = kv_seq - j * block_k
+    if kv_seq % block_k != 0:
+        row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+        v = jnp.where(row < tail, v, 0)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # (bq, bk)
+
+    if kv_seq % block_k != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < tail, s, NEG_INF)
+
+    m_prev = m_ref[:, :1]                                    # (bq, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)               # (bq, 1)
+    m_new = jnp.maximum(m_prev, m_cur)
+    corr = jnp.exp(m_prev - m_new)                           # (bq, 1)
+    p = jnp.exp(s - m_new)                                   # (bq, bk) f32
+
+    l_new = corr * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = (acc_ref[:] * corr
+                  + jax.lax.dot_general(
+                      p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                      preferred_element_type=jnp.float32))
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        denom = l_ref[:, :1]
+        denom = jnp.where(denom == 0.0, 1.0, denom)
+        o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+
+
+def _flash_fwd_bhsd(q, k, v, *, scale: float, block_q: int, block_k: int,
+                    interpret: bool = None):
+    """q: (BH, Sq, D); k/v: (BH, Sk, D) -> (BH, Sq, D)."""
+    if interpret is None:
+        # interpreter mode lets the CPU test mesh exercise the kernel
+        import os
+        interpret = jax.default_backend() != "tpu" or \
+            os.environ.get("VST_FLASH_INTERPRET") == "1"
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    nq = pl.cdiv(sq, block_q)
+    nk = pl.cdiv(sk, block_k)
+
+    grid = (bh, nq, nk)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, kv_seq=sk,
+                          block_k=block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),   # running max
+            pltpu.VMEM((block_q, 128), jnp.float32),   # running denom
+            pltpu.VMEM((block_q, d), jnp.float32),     # output accum
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _xla_reference(q, k, v, scale):
+    logits = jnp.einsum("bsd,btd->bst", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bst,btd->bsd", w.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_bhsd(q, k, v, scale, block_q, block_k):
+    return _flash_fwd_bhsd(q, k, v, scale=scale, block_q=block_q,
+                           block_k=block_k)
+
+
+def _flash_bhsd_fwd(q, k, v, scale, block_q, block_k):
+    return _flash_fwd_bhsd(q, k, v, scale=scale, block_q=block_q,
+                           block_k=block_k), (q, k, v)
+
+
+def _flash_bhsd_bwd(scale, block_q, block_k, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, scale),
+                     q, k, v)
+    return vjp(g)
+
+
+_flash_bhsd.defvjp(_flash_bhsd_fwd, _flash_bhsd_bwd)
+
+
+def flash_attention(q, k, v, *, scale=None, block_q: int = DEFAULT_BLOCK_Q,
+                    block_k: int = DEFAULT_BLOCK_K):
+    """q, k, v: (B, S, H, D) -> (B, S, H, D). Differentiable."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+
+    def to_bhsd(x, s):
+        return jnp.swapaxes(x, 1, 2).reshape(b * h, s, d)
+
+    qb = to_bhsd(q, sq)
+    kb = to_bhsd(k, sk)
+    vb = to_bhsd(v, sk)
+    ob = _flash_bhsd(qb, kb, vb, float(scale), block_q, block_k)
+    return jnp.swapaxes(ob.reshape(b, h, sq, d), 1, 2)
