@@ -1,0 +1,113 @@
+"""End-to-end tiny pipeline tests: image + video generation, mode
+switching, and mesh-sharded execution on the virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from video_style_transfer_tpu.config import UNetConfig, VAEConfig
+from video_style_transfer_tpu.lora.surgery import insert_unziplora
+from video_style_transfer_tpu.models.unet import init_unet
+from video_style_transfer_tpu.models.vae import init_vae
+from video_style_transfer_tpu.parallel import create_mesh, replicate, shard_rows
+from video_style_transfer_tpu.pipelines.image import (
+    default_time_ids, generate_images, generate_latents)
+from video_style_transfer_tpu.pipelines.sampling import Conditioning
+from video_style_transfer_tpu.pipelines.video import (
+    decode_video, generate_video, generate_video_latents)
+
+RES = 16
+
+
+def _models(motion=False):
+    ucfg = UNetConfig.tiny(use_motion_modules=motion)
+    vcfg = VAEConfig.tiny()
+    up = init_unet(jax.random.PRNGKey(0), ucfg)
+    vp = init_vae(jax.random.PRNGKey(1), vcfg)
+    return ucfg, up, vcfg, vp
+
+
+def _cond(b, ucfg, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    emb = jax.random.normal(ks[0], (b, 7, ucfg.cross_attention_dim))
+    pooled = jax.random.normal(ks[1], (b, 32))
+    tids = default_time_ids(RES, RES, b)
+    return Conditioning(ctx=(emb, None, None), pooled=pooled, time_ids=tids)
+
+
+def test_image_generation_runs():
+    ucfg, up, vcfg, vp = _models()
+    uncond, cond = _cond(1, ucfg, 0), _cond(1, ucfg, 1)
+    imgs = generate_images(up, ucfg, vp, vcfg, uncond, cond,
+                           jax.random.PRNGKey(2), height=RES, width=RES,
+                           num_steps=3, dtype=jnp.float32,
+                           vae_scale_factor=2)
+    assert imgs.shape == (1, RES, RES, 3)
+    assert imgs.dtype == jnp.uint8
+
+
+def test_dpm_sampler_runs():
+    ucfg, up, vcfg, vp = _models()
+    uncond, cond = _cond(1, ucfg, 0), _cond(1, ucfg, 1)
+    lat = generate_latents(up, ucfg, uncond, cond, jax.random.PRNGKey(2),
+                           height=RES, width=RES, num_steps=4,
+                           sampler="dpm", dtype=jnp.float32,
+                           vae_scale_factor=2)
+    assert lat.shape == (1, 8, 8, 4)
+    assert bool(jnp.all(jnp.isfinite(lat)))
+
+
+def test_modes_give_distinct_images():
+    ucfg, up, vcfg, vp = _models()
+    up, state = insert_unziplora(up, jax.random.PRNGKey(5), rank=4)
+    uncond, cond = _cond(1, ucfg, 0), _cond(1, ucfg, 1)
+    outs = {}
+    for mode in ("both", "content", "style"):
+        outs[mode] = np.asarray(generate_latents(
+            up, ucfg, uncond, cond, jax.random.PRNGKey(2), height=RES,
+            width=RES, num_steps=2, mode=mode, state=state,
+            dtype=jnp.float32, vae_scale_factor=2))
+    assert not np.allclose(outs["both"], outs["content"])
+    assert not np.allclose(outs["content"], outs["style"])
+
+
+def test_video_generation_runs():
+    ucfg, up, vcfg, vp = _models(motion=True)
+    uncond, cond = _cond(1, ucfg, 0), _cond(1, ucfg, 1)
+    frames = generate_video(up, ucfg, vp, vcfg, uncond, cond,
+                            jax.random.PRNGKey(3), num_frames=4, height=RES,
+                            width=RES, num_steps=2, dtype=jnp.float32,
+                            decode_chunk=2, vae_scale_factor=2)
+    assert frames.shape == (4, RES, RES, 3)
+    assert frames.dtype == jnp.uint8
+
+
+def test_video_latents_sharded_over_frames():
+    """The full video denoise jits and runs with latents sharded over the
+    8-device frame axis (the production serving layout)."""
+    ucfg, up, vcfg, vp = _models(motion=True)
+    mesh = create_mesh(frame=8)
+    uncond, cond = _cond(1, ucfg, 0), _cond(1, ucfg, 1)
+    rep = replicate(mesh)
+    up_s = jax.device_put(up, rep)
+
+    @jax.jit
+    def run(params, key):
+        lat = generate_video_latents(
+            params, ucfg, uncond, cond, key, num_frames=8, height=RES,
+            width=RES, num_steps=2, dtype=jnp.float32,
+            vae_scale_factor=2)
+        return jax.lax.with_sharding_constraint(
+            lat, NamedSharding(mesh, P("frame")))
+
+    with mesh:
+        lat = run(up_s, jax.random.PRNGKey(4))
+    assert lat.shape == (8, 8, 8, 4)
+    assert bool(jnp.all(jnp.isfinite(lat)))
+    # identical result to the unsharded run
+    lat_ref = generate_video_latents(
+        up, ucfg, uncond, cond, jax.random.PRNGKey(4), num_frames=8,
+        height=RES, width=RES, num_steps=2, dtype=jnp.float32,
+        vae_scale_factor=2)
+    np.testing.assert_allclose(np.asarray(lat), np.asarray(lat_ref),
+                               rtol=2e-4, atol=1e-4)

@@ -1,0 +1,72 @@
+"""AnimateDiff-XL video generation (functional).
+
+Equivalent of inference_animatediff.py:53-151 (generate_video): motion
+UNet denoise over (B, F, h, w, 4) latents, three modes (both/content/
+style) via the static mode argument instead of unziplora_set_forward_type
+walks, per-frame fp32 VAE decode — with the reference's two sequential
+CFG UNet calls (:109-122) replaced by one batched pair, the Python step
+loop by lax.scan, and frames shardable across the mesh.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from video_style_transfer_tpu.models.vae import vae_decode
+from video_style_transfer_tpu.pipelines.image import (
+    decode_images, generate_latents)
+from video_style_transfer_tpu.pipelines.sampling import Conditioning
+
+
+def generate_video_latents(unet_params, unet_cfg, uncond: Conditioning,
+                           cond: Conditioning, key, *, num_frames: int = 16,
+                           height: int = 1024, width: int = 1024,
+                           num_steps: int = 30, cfg_scale: float = 7.5,
+                           mode: str = "both", state=None,
+                           impl: str = "auto", dtype=jnp.bfloat16,
+                           sched=None, vae_scale_factor: int = 8):
+    """Returns (num_frames, h/8, w/8, 4) scaled latents for batch 1.
+
+    Reference defaults: 16 frames, 1024^2, CFG 7.5
+    (inference_animatediff.sh:18-24); the conditioning batch is 1 and is
+    broadcast across frames inside the UNet.
+    """
+    return generate_latents(
+        unet_params, unet_cfg, uncond, cond, key, height=height,
+        width=width, batch=num_frames, num_steps=num_steps,
+        cfg_scale=cfg_scale, sampler="euler", mode=mode, state=state,
+        num_frames=num_frames, impl=impl, dtype=dtype, sched=sched,
+        vae_scale_factor=vae_scale_factor)
+
+
+def decode_video(vae_params, vae_cfg, latents, *, chunk: int = 4):
+    """Per-frame fp32 VAE decode (reference inference_animatediff.py:
+    136-144 decodes frame-by-frame in fp32). Chunked lax.map bounds the
+    1024^2 decoder's activation memory on one chip; under a mesh the
+    frame axis shards instead."""
+    f = latents.shape[0]
+    if chunk >= f:
+        return decode_images(vae_params, vae_cfg, latents)
+    assert f % chunk == 0, (f, chunk)
+    chunks = latents.reshape(f // chunk, chunk, *latents.shape[1:])
+    out = jax.lax.map(
+        lambda z: decode_images(vae_params, vae_cfg, z), chunks)
+    return out.reshape(f, *out.shape[2:])
+
+
+def generate_video(unet_params, unet_cfg, vae_params, vae_cfg,
+                   uncond: Conditioning, cond: Conditioning, key, *,
+                   num_frames: int = 16, height: int = 1024,
+                   width: int = 1024, num_steps: int = 30,
+                   cfg_scale: float = 7.5, mode: str = "both", state=None,
+                   impl: str = "auto", dtype=jnp.bfloat16,
+                   decode_chunk: int = 4, vae_scale_factor: int = 8):
+    """Full video program: returns (F, H, W, 3) uint8 frames."""
+    latents = generate_video_latents(
+        unet_params, unet_cfg, uncond, cond, key, num_frames=num_frames,
+        height=height, width=width, num_steps=num_steps,
+        cfg_scale=cfg_scale, mode=mode, state=state, impl=impl, dtype=dtype,
+        vae_scale_factor=vae_scale_factor)
+    return decode_video(vae_params, vae_cfg, latents, chunk=decode_chunk)

@@ -24,16 +24,18 @@ def make_schedule(num_train_timesteps: int = 1000,
         raise ValueError(beta_schedule)
     alphas = 1.0 - betas
     alphas_cumprod = np.cumprod(alphas)
+    # host numpy constants: timetable builders run numpy math on these, so
+    # they must stay concrete even when make_schedule is called under jit
     return {
         "num_train_timesteps": num_train_timesteps,
-        "betas": jnp.asarray(betas, jnp.float32),
-        "alphas_cumprod": jnp.asarray(alphas_cumprod, jnp.float32),
+        "betas": betas.astype(np.float32),
+        "alphas_cumprod": alphas_cumprod.astype(np.float32),
     }
 
 
 def add_noise(sched, x0, noise, t):
     """x_t = sqrt(acp_t) x0 + sqrt(1 - acp_t) eps.  t: (B,) int."""
-    acp = sched["alphas_cumprod"][t]
+    acp = jnp.asarray(sched["alphas_cumprod"])[t]
     shape = (-1,) + (1,) * (x0.ndim - 1)
     sqrt_acp = jnp.sqrt(acp).reshape(shape).astype(x0.dtype)
     sqrt_1m = jnp.sqrt(1.0 - acp).reshape(shape).astype(x0.dtype)
