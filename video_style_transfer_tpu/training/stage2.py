@@ -1,0 +1,149 @@
+"""Stage-2 trainer: temporal-LoRA fine-tuning on a single video.
+
+Functional re-design of the reference's motion trainer
+(train_animatediff.py:52-357): the motion UNet holds frozen SDXL +
+UnZipLoRA spatial weights and trainable temporal LoRA A/B (+ motion norms,
++ mergers when unfrozen); loss is per-clip-timestep eps-MSE on
+(B, F, h, w, 4) latents plus the temporal-spatial orthogonality penalty
+(:302-312); optimization is AdamW with cosine schedule.
+
+TPU design: the train step is one jit program; the (B*F) row axis shards
+over the ('data','frame') mesh; gradients for the tiny LoRA tree psum
+automatically via sharding. Freezing is optax.masked, not
+requires_grad mutation (reference freeze_spatial_layers,
+animatediff/utils.py:66-95).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from video_style_transfer_tpu.config import UNetConfig
+from video_style_transfer_tpu.lora.surgery import spatial_pairs, tree_get
+from video_style_transfer_tpu.lora.temporal import orthogonality_loss
+from video_style_transfer_tpu.models.unet import unet_apply
+from video_style_transfer_tpu.schedulers.ddpm import add_noise, velocity_target
+
+
+class Stage2State(NamedTuple):
+    params: Any          # full UNet params (frozen + trainable leaves)
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def trainable_mask(params, *, train_mergers: bool = False,
+                   train_motion_norms: bool = True):
+    """Boolean pytree: True = trainable. Temporal LoRA a/b always; motion
+    module norms optionally ("Option B/C", reference
+    train_animatediff.py:133-147); mergers when unfrozen."""
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        if isinstance(tree, list):
+            return [walk(v, path + (i,)) for i, v in enumerate(tree)]
+        in_motion = "motion_modules" in path
+        if "tlora" in path:
+            return path[-1] in ("a", "b")
+        if train_motion_norms and in_motion and any(
+                isinstance(k, str) and k.startswith("norm") for k in path):
+            return True
+        if train_mergers and "lora" in path and isinstance(path[-1], str) \
+                and path[-1].startswith("merge_"):
+            return True
+        return False
+    return walk(params, ())
+
+
+def make_optimizer(mask, *, lr: float = 2e-5, total_steps: int = 1000,
+                   warmup: int = 100, weight_decay: float = 1e-2,
+                   max_grad_norm: float = 0.5):
+    """AdamW + cosine decay with warmup + clip 0.5 (reference
+    train_animatediff.sh:36,40-41; clip train_animatediff.py:316)."""
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup, max(total_steps, warmup + 1))
+    tx = optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.adamw(sched, weight_decay=weight_decay),
+    )
+    return optax.masked(tx, mask)
+
+
+def stage2_loss(params, unet_cfg: UNetConfig, sched, batch, key, *,
+                pairs, lambda_orth: float = 1e-4,
+                prediction_type: str = "epsilon",
+                cfg_dropout: float = 0.1, mode: str = "both", state=None,
+                impl: str = "auto", remat: bool = True):
+    """batch: dict with
+      latents  (B, F, h, w, 4) — VAE-encoded clip (scaled)
+      ctx      (B, S, D) combined prompt embeddings
+      pooled   (B, pooled_dim)
+      time_ids (B, 6)
+    One shared timestep per clip (reference train_animatediff.py:228-236).
+    """
+    latents = batch["latents"]
+    b, f = latents.shape[:2]
+    k_t, k_n, k_d = jax.random.split(key, 3)
+
+    t = jax.random.randint(k_t, (b,), 0, sched["num_train_timesteps"])
+    t_rows = jnp.repeat(t, f)
+
+    noise = jax.random.normal(k_n, latents.shape, latents.dtype)
+    rows = latents.reshape(b * f, *latents.shape[2:])
+    noise_rows = noise.reshape(b * f, *latents.shape[2:])
+    noisy = add_noise(sched, rows, noise_rows, t_rows)
+
+    # 10% CFG prompt dropout (reference :248-254)
+    drop = jax.random.bernoulli(k_d, cfg_dropout, (b, 1, 1))
+    ctx = jnp.where(drop, 0.0, batch["ctx"])
+
+    pred = unet_apply(params, unet_cfg, noisy, t, (ctx, None, None),
+                      batch["pooled"], batch["time_ids"], mode=mode,
+                      state=state, num_frames=f, impl=impl, remat=remat)
+
+    if prediction_type == "v_prediction":
+        target = velocity_target(sched, rows, noise_rows, t_rows)
+    else:
+        target = noise_rows
+    loss_mse = jnp.mean(
+        (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
+
+    loss_orth = jnp.float32(0.0)
+    if lambda_orth > 0.0 and pairs:
+        total = jnp.float32(0.0)
+        for tpath, spath in pairs:
+            total = total + orthogonality_loss(tree_get(params, tpath),
+                                               tree_get(params, spath))
+        loss_orth = lambda_orth * total / len(pairs)
+
+    return loss_mse + loss_orth, {"loss_mse": loss_mse,
+                                  "loss_orth": loss_orth}
+
+
+def make_train_step(unet_cfg: UNetConfig, sched, optimizer, pairs, *,
+                    lambda_orth: float = 1e-4,
+                    prediction_type: str = "epsilon", mode: str = "both",
+                    lora_state=None, impl: str = "auto", remat: bool = True):
+    """Returns step(state, batch, key) -> (state, metrics). jit outside
+    (optionally under a mesh with batch rows sharded)."""
+
+    def step(state: Stage2State, batch, key):
+        (loss, aux), grads = jax.value_and_grad(
+            stage2_loss, has_aux=True)(
+                state.params, unet_cfg, sched, batch, key, pairs=pairs,
+                lambda_orth=lambda_orth, prediction_type=prediction_type,
+                mode=mode, state=lora_state, impl=impl, remat=remat)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, **aux}
+        return Stage2State(params, opt_state, state.step + 1), metrics
+
+    return step
+
+
+def init_state(params, optimizer) -> Stage2State:
+    return Stage2State(params, optimizer.init(params), jnp.asarray(0))
