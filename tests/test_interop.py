@@ -1,0 +1,111 @@
+"""Checkpoint interop tests: HF-format round-trips and reference-format
+LoRA artifact export/import (SURVEY.md §5 checkpoint row — formats must
+interoperate both directions)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from video_style_transfer_tpu.config import UNetConfig, VAEConfig
+from video_style_transfer_tpu.lora import interop
+from video_style_transfer_tpu.lora.surgery import (
+    insert_unziplora, iter_spatial_attention_paths, tree_get)
+from video_style_transfer_tpu.models.unet import init_unet, unet_apply
+from video_style_transfer_tpu.models.vae import init_vae
+from video_style_transfer_tpu.utils import hf_convert
+
+
+def _zeros_like_tree(t):
+    return jax.tree.map(lambda a: jnp.zeros_like(a), t)
+
+
+def test_unet_state_dict_roundtrip():
+    cfg = UNetConfig.tiny(use_motion_modules=False)
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    sd = hf_convert.export_to_state_dict(params)
+    # keys look like diffusers module names
+    assert any(k.startswith("down_blocks.1.attentions.0.transformer_blocks"
+                            ".0.attn1.to_q") for k in sd)
+    assert any(k == "conv_in.weight" for k in sd)
+    assert sd["conv_in.weight"].shape[1] == cfg.in_channels  # OIHW
+    back = hf_convert.convert_to_pytree(sd, _zeros_like_tree(params))
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(back)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0,
+                                   err_msg=str(p1))
+
+
+def test_vae_state_dict_roundtrip():
+    cfg = VAEConfig.tiny()
+    params = init_vae(jax.random.PRNGKey(1), cfg)
+    sd = hf_convert.export_to_state_dict(params)
+    assert "encoder.conv_in.weight" in sd
+    assert "quant_conv.weight" in sd
+    assert "decoder.mid_block.attentions.0.to_q.weight" in sd
+    back = hf_convert.convert_to_pytree(sd, _zeros_like_tree(params))
+    chex = jax.tree.map(lambda a, b: np.allclose(a, b), params, back)
+    assert all(jax.tree.leaves(chex))
+
+
+def test_lora_artifact_roundtrip_and_inference_parity():
+    """Export reference-format artifacts, re-import into a fresh base
+    UNet, and check 'content'-mode forward parity (content mode uses only
+    down/up + mask — exactly what the per-branch safetensors carry)."""
+    cfg = UNetConfig.tiny()
+    base = init_unet(jax.random.PRNGKey(0), cfg)
+    params, state = insert_unziplora(base, jax.random.PRNGKey(1), rank=4)
+
+    content_sd, merger_c = interop.export_state_dicts(params, state,
+                                                      "content")
+    style_sd, merger_s = interop.export_state_dicts(params, state, "style")
+    assert content_sd and merger_c
+    k = next(iter(content_sd))
+    assert k.startswith("unet.") and k.endswith(".lora.up.weight")
+
+    re_params, re_state = interop.import_state_dicts(
+        base, content_sd, style_sd, merger_c, merger_s)
+
+    ks = jax.random.split(jax.random.PRNGKey(7), 5)
+    sample = jax.random.normal(ks[0], (1, 16, 16, 4))
+    t = jnp.array([3])
+    emb = jax.random.normal(ks[1], (1, 7, cfg.cross_attention_dim))
+    pooled = jax.random.normal(ks[2], (1, 32))
+    tids = jnp.tile(jnp.array([[16, 16, 0, 0, 16, 16]]), (1, 1))
+
+    out_orig = unet_apply(params, cfg, sample, t, (emb, None, None), pooled,
+                          tids, mode="content", state=state)
+    out_re = unet_apply(re_params, cfg, sample, t, (emb, None, None), pooled,
+                        tids, mode="content", state=re_state)
+    # without masks active the exported up folds the merger in; content
+    # mode ignores mergers, so outputs match only when mergers are 1 —
+    # they are at init
+    np.testing.assert_allclose(np.asarray(out_re), np.asarray(out_orig),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_lora_export_folds_mask_when_active():
+    cfg = UNetConfig.tiny()
+    base = init_unet(jax.random.PRNGKey(0), cfg)
+    params, state = insert_unziplora(base, jax.random.PRNGKey(1), rank=4)
+    # activate masks on one stack
+    path = next(iter_spatial_attention_paths(params)) + ("to_q",)
+    st = tree_get(state, path)
+    n_layers, out_f = st["mask_content"].shape
+    rng = np.random.RandomState(0)
+    mask = jnp.asarray(rng.rand(n_layers, out_f) > 0.5)
+    from video_style_transfer_tpu.lora.surgery import tree_set
+    state = tree_set(state, path + ("mask_content",), mask)
+    state = tree_set(state, path + ("use_mask_content",),
+                     jnp.ones((n_layers,), jnp.bool_))
+
+    content_sd, _ = interop.export_state_dicts(params, state, "content")
+    name = interop._module_name(path[:-1], "to_q", 0)
+    up = content_sd[f"unet.{name}.lora.up.weight"]
+    # masked columns of the exported up must be exactly zero
+    zero_rows = np.asarray(~mask[0])
+    assert np.all(up[zero_rows] == 0.0)
+    lora = tree_get(params, path)["lora"]
+    keep = np.asarray(mask[0])
+    np.testing.assert_allclose(
+        up[keep], np.asarray(lora["content"]["up"][0]).T[keep],
+        rtol=1e-6)

@@ -56,16 +56,20 @@ def _inputs(cfg, b=1, res=16):
 def test_insert_unziplora_counts():
     cfg, params = _tiny_unet()
     spatial = list(iter_spatial_attention_paths(params))
-    # tiny: 1 cross down block (1 layer x 1 tf block) + mid (1 tf block)
-    # + 1 cross up block (2 resnets -> 2 attentions x 1 tf block)
-    # each with attn1+attn2
+    # tiny: 1 cross down attn group + mid group + 2 cross up groups,
+    # each yielding one stacked attn1 + attn2 path
     assert len(spatial) == (1 + 1 + 2) * 2
     new, state = insert_unziplora(params, jax.random.PRNGKey(1), rank=4)
     for p in spatial:
         attn = tree_get(new, p)
         for proj in ("to_q", "to_k", "to_v", "to_out"):
             assert "lora" in attn[proj]
-            assert attn[proj]["lora"]["content"]["down"].shape[1] == 4
+            # stacked leaves: (n_layers, in, rank)
+            down = attn[proj]["lora"]["content"]["down"]
+            assert down.ndim == 3 and down.shape[-1] == 4
+            st = tree_get(state, p + (proj,))
+            assert st["mask_content"].shape == (down.shape[0],
+                                                attn[proj]["kernel"].shape[-1])
 
 
 def test_modes_change_output_and_base_preserved():
@@ -110,12 +114,14 @@ def test_spatial_pairs():
     params = insert_temporal_lora(params, jax.random.PRNGKey(2), rank=4)
     pairs = spatial_pairs(params)
     assert pairs, "no temporal<->spatial pairs found"
-    for tpath, spath in pairs:
+    for tpath, spath, n in pairs:
         assert "motion_modules" in tpath
         assert "attentions" in spath
+        assert n >= 1
         tl = tree_get(params, tpath)
         sl = tree_get(params, spath)
-        assert tl["a"].shape[0] == sl["content"]["down"].shape[0]
+        # stacked: (L, in, r) — paired layers share in_features
+        assert tl["a"].shape[1] == sl["content"]["down"].shape[1]
 
 
 def test_expand_block_patterns_reference_dsl():
@@ -150,12 +156,12 @@ def test_layer_assignments_routing():
                             num_down_blocks=2, num_up_blocks=2,
                             layers_per_block=1)
     # a down-block layer selected only by content -> 'content'
-    down_path = ("down_blocks", 1, "attentions", 0, "transformer_blocks", 0,
+    down_path = ("down_blocks", 1, "attentions", 0, "transformer_blocks",
                  "attn1", "to_q")
     assert asg[down_path] == "content"
-    up_path = ("up_blocks", 0, "attentions", 0, "transformer_blocks", 0,
+    up_path = ("up_blocks", 0, "attentions", 0, "transformer_blocks",
                "attn2", "to_v")
     assert asg[up_path] == "style"
-    mid_path = ("mid_block", "attentions", 0, "transformer_blocks", 0,
+    mid_path = ("mid_block", "attentions", 0, "transformer_blocks",
                 "attn1", "to_q")
     assert asg[mid_path] == "both"

@@ -51,9 +51,13 @@ def _set(tree, path: Path, value):
 
 
 def iter_spatial_attention_paths(unet_params) -> Iterator[Path]:
-    """Paths of every spatial attention module dict (attn1 + attn2) in
-    down/mid/up cross-attention blocks — motion modules excluded, matching
-    the reference's skip (unziplora_unet/utils.py:407-409)."""
+    """Paths of every spatial attention STACK (attn1 + attn2) in down/mid/
+    up cross-attention blocks — motion modules excluded, matching the
+    reference's skip (unziplora_unet/utils.py:407-409).
+
+    Transformer blocks are stacked pytrees (leaves carry a leading
+    num_layers axis), so one path covers all layers of a stack; per-layer
+    math vmaps over that axis."""
     def blocks(kind):
         if kind == "mid_block":
             yield ("mid_block",), unet_params["mid_block"]
@@ -64,14 +68,13 @@ def iter_spatial_attention_paths(unet_params) -> Iterator[Path]:
     for kind in ("down_blocks", "mid_block", "up_blocks"):
         for prefix, block in blocks(kind):
             for j, attn in enumerate(block.get("attentions", [])):
-                for k, tb in enumerate(attn["transformer_blocks"]):
-                    for name in ("attn1", "attn2"):
-                        yield prefix + ("attentions", j,
-                                        "transformer_blocks", k, name)
+                for name in ("attn1", "attn2"):
+                    yield prefix + ("attentions", j,
+                                    "transformer_blocks", name)
 
 
 def iter_motion_attention_paths(unet_params) -> Iterator[Path]:
-    """Paths of every temporal attention module dict inside motion
+    """Paths of every (stacked) temporal attention inside motion
     modules."""
     def blocks(kind):
         if kind == "mid_block":
@@ -83,9 +86,8 @@ def iter_motion_attention_paths(unet_params) -> Iterator[Path]:
     for kind in ("down_blocks", "mid_block", "up_blocks"):
         for prefix, block in blocks(kind):
             for j, mm in enumerate(block.get("motion_modules", [])):
-                for k, tb in enumerate(mm["transformer_blocks"]):
-                    yield prefix + ("motion_modules", j,
-                                    "transformer_blocks", k, "attn1")
+                yield prefix + ("motion_modules", j,
+                                "transformer_blocks", "attn1")
 
 
 def path_str(path: Path) -> str:
@@ -99,8 +101,9 @@ def path_str(path: Path) -> str:
 def insert_unziplora(unet_params, key, *, rank: int = 64,
                      dtype=jnp.float32):
     """Returns (new_params, lora_state). Every q/k/v/out projection of
-    every spatial attention gains a 'lora' sub-dict; the state tree mirrors
-    the params structure with mask/score entries at the same paths."""
+    every spatial attention stack gains a 'lora' sub-dict (leaves carry
+    the stack's leading num_layers axis via vmapped init); the state tree
+    mirrors the params structure with stacked mask/score entries."""
     params = unet_params
     state: Dict = {}
     paths = list(iter_spatial_attention_paths(unet_params))
@@ -110,14 +113,24 @@ def insert_unziplora(unet_params, key, *, rank: int = 64,
         attn = _get(params, path)
         for proj in PROJS:
             p = attn[proj]
-            in_f, out_f = p["kernel"].shape
-            lora = init_unzip_lora_params(keys[ki], in_f, out_f, rank=rank,
-                                          dtype=dtype)
+            n_layers, in_f, out_f = p["kernel"].shape
+            layer_keys = jax.random.split(keys[ki], n_layers)
             ki += 1
+            lora = jax.vmap(
+                lambda k: init_unzip_lora_params(k, in_f, out_f, rank=rank,
+                                                 dtype=dtype))(layer_keys)
             params = _set(params, path + (proj, "lora"), lora)
-            st = init_unzip_lora_state(out_f)
+            st = stacked_unzip_state(n_layers, out_f)
             state = _set_nested(state, path + (proj,), st)
     return params, state
+
+
+def stacked_unzip_state(n_layers: int, out_features: int):
+    """init_unzip_lora_state with a leading (n_layers,) axis on every
+    leaf."""
+    base = init_unzip_lora_state(out_features)
+    return jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (n_layers,) + a.shape).copy(), base)
 
 
 def _set_nested(tree: Dict, path: Path, value):
@@ -134,7 +147,7 @@ def _set_nested(tree: Dict, path: Path, value):
 
 def insert_temporal_lora(unet_params, key, *, rank: int = 32,
                          alpha: float = 1.0, dtype=jnp.float32):
-    """Adds 'tlora' to every motion-module attention projection
+    """Adds 'tlora' to every motion-module attention projection stack
     (reference inject_temporal_lora, animatediff/temporal_lora.py:44-69)."""
     params = unet_params
     paths = list(iter_motion_attention_paths(unet_params))
@@ -144,25 +157,33 @@ def insert_temporal_lora(unet_params, key, *, rank: int = 32,
         attn = _get(params, path)
         for proj in PROJS:
             p = attn[proj]
-            in_f, out_f = p["kernel"].shape
-            tl = init_temporal_lora(keys[ki], in_f, out_f, rank=rank,
-                                    alpha=alpha, dtype=dtype)
+            n_layers, in_f, out_f = p["kernel"].shape
+            layer_keys = jax.random.split(keys[ki], n_layers)
             ki += 1
+            tl = jax.vmap(
+                lambda k: init_temporal_lora(k, in_f, out_f, rank=rank,
+                                             alpha=alpha, dtype=dtype)
+            )(layer_keys)
             params = _set(params, path + (proj, "tlora"), tl)
     return params
 
 
-def spatial_pairs(unet_params) -> List[Tuple[Path, Path]]:
-    """Pair each temporal-LoRA projection with its same-block spatial
-    UnZipLoRA projection (reference build_spatial_lora_index,
+def spatial_pairs(unet_params) -> List[Tuple[Path, Path, int]]:
+    """Pair each temporal-LoRA projection stack with its same-block
+    spatial UnZipLoRA projection stack (reference build_spatial_lora_index,
     temporal_lora.py:72-123: motion module index j pairs with attention
-    group j of the same block; shapes must agree)."""
+    group j of the same block; layer k with layer k; shapes must agree).
+
+    Returns (tlora_path, spatial_lora_path, n_paired_layers) triples —
+    n_paired_layers = min(motion stack depth, spatial stack depth);
+    consumers vmap over that leading prefix.
+    """
     pairs = []
     for mpath in iter_motion_attention_paths(unet_params):
-        # (... 'motion_modules', j, 'transformer_blocks', k, 'attn1')
-        prefix = mpath[:-5]
-        j, k = mpath[-4], mpath[-2]
-        spath = prefix + ("attentions", j, "transformer_blocks", k, "attn1")
+        # (... 'motion_modules', j, 'transformer_blocks', 'attn1')
+        prefix = mpath[:-4]
+        j = mpath[-3]
+        spath = prefix + ("attentions", j, "transformer_blocks", "attn1")
         try:
             sp = _get(unet_params, spath)
         except (KeyError, IndexError, TypeError):
@@ -173,9 +194,11 @@ def spatial_pairs(unet_params) -> List[Tuple[Path, Path]]:
                 continue
             if "tlora" not in mp[proj]:
                 continue
-            if (sp[proj]["kernel"].shape == mp[proj]["kernel"].shape):
+            if sp[proj]["kernel"].shape[1:] == mp[proj]["kernel"].shape[1:]:
+                n = min(sp[proj]["kernel"].shape[0],
+                        mp[proj]["kernel"].shape[0])
                 pairs.append((mpath + (proj, "tlora"),
-                              spath + (proj, "lora")))
+                              spath + (proj, "lora"), n))
     return pairs
 
 

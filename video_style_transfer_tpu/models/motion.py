@@ -46,17 +46,19 @@ def motion_block(p, x, *, heads: int, state=None, impl: str = "auto"):
 def init_motion_module(key, in_channels: int, *, num_layers: int = 2,
                        heads: int = 8, norm_num_groups: int = 32,
                        dtype=jnp.float32):
-    keys = jax.random.split(key, num_layers + 2)
+    """'transformer_blocks' is a stacked pytree (leading num_layers axis),
+    scanned at apply time — same layout as the spatial transformer."""
+    k_in, k_blocks, k_out = jax.random.split(key, 3)
+    block_keys = jax.random.split(k_blocks, num_layers)
+    blocks = jax.vmap(
+        lambda k: init_motion_block(k, in_channels, heads=heads,
+                                    dtype=dtype))(block_keys)
     return {
         "norm": layers.init_group_norm(in_channels, dtype),
-        "proj_in": layers.init_linear(keys[0], in_channels, in_channels,
+        "proj_in": layers.init_linear(k_in, in_channels, in_channels,
                                       dtype=dtype),
-        "transformer_blocks": [
-            init_motion_block(keys[i + 1], in_channels, heads=heads,
-                              dtype=dtype)
-            for i in range(num_layers)
-        ],
-        "proj_out": layers.init_linear(keys[-1], in_channels, in_channels,
+        "transformer_blocks": blocks,
+        "proj_out": layers.init_linear(k_out, in_channels, in_channels,
                                        dtype=dtype),
     }
 
@@ -82,11 +84,12 @@ def motion_module(p, x, *, num_frames: int, heads: int, norm_num_groups: int,
     pe = temporal_positional_encoding(num_frames, c, max_len=max_seq_length)
     y = y + pe[None].astype(y.dtype)
 
-    for bp in p["transformer_blocks"]:
-        fn = lambda bp_, y_: motion_block(bp_, y_, heads=heads, impl=impl)  # noqa: E731
-        if remat:
-            fn = jax.checkpoint(fn)
-        y = fn(bp, y)
+    def body(y_, bp):
+        return motion_block(bp, y_, heads=heads, impl=impl), None
+
+    if remat:
+        body = jax.checkpoint(body)
+    y, _ = jax.lax.scan(body, y, p["transformer_blocks"])
 
     y = layers.linear(p["proj_out"], y)
     y = y.reshape(b, h, w, num_frames, c)

@@ -52,18 +52,24 @@ def transformer_block(p, x, ctx: Tuple, *, heads: int, mode: str = "base",
 def init_transformer_2d(key, in_channels: int, *, num_layers: int,
                         heads: int, cross_attention_dim: int,
                         norm_num_groups: int = 32, dtype=jnp.float32):
-    keys = jax.random.split(key, num_layers + 2)
+    """'transformer_blocks' is a STACKED pytree: every leaf carries a
+    leading (num_layers,) axis and the blocks run under lax.scan. This is
+    the TPU-shaped layout — SDXL's 10-layer stacks would otherwise unroll
+    into minutes of trace+compile time (the HF converter stacks diffusers'
+    per-layer weights along axis 0)."""
+    k_in, k_blocks, k_out = jax.random.split(key, 3)
+    block_keys = jax.random.split(k_blocks, num_layers)
+    blocks = jax.vmap(
+        lambda k: init_transformer_block(
+            k, in_channels, heads=heads,
+            cross_attention_dim=cross_attention_dim, dtype=dtype)
+    )(block_keys)
     return {
         "norm": layers.init_group_norm(in_channels, dtype),
-        "proj_in": layers.init_linear(keys[0], in_channels, in_channels,
+        "proj_in": layers.init_linear(k_in, in_channels, in_channels,
                                       dtype=dtype),
-        "transformer_blocks": [
-            init_transformer_block(keys[i + 1], in_channels, heads=heads,
-                                   cross_attention_dim=cross_attention_dim,
-                                   dtype=dtype)
-            for i in range(num_layers)
-        ],
-        "proj_out": layers.init_linear(keys[-1], in_channels, in_channels,
+        "transformer_blocks": blocks,
+        "proj_out": layers.init_linear(k_out, in_channels, in_channels,
                                        dtype=dtype),
     }
 
@@ -81,18 +87,27 @@ def transformer_2d(p, x, ctx: Tuple, *, heads: int, norm_num_groups: int,
     st = state or {}
     st_blocks = st.get("transformer_blocks")
 
-    for i, bp in enumerate(p["transformer_blocks"]):
-        if st_blocks is None:
-            bst = None
-        elif isinstance(st_blocks, dict):
-            bst = st_blocks.get(i)
-        else:
-            bst = st_blocks[i]
-        fn = lambda bp_, y_, ctx_, bst_: transformer_block(  # noqa: E731
-            bp_, y_, ctx_, heads=heads, mode=mode, state=bst_, impl=impl)
-        if remat:
-            fn = jax.checkpoint(fn)
-        y = fn(bp, y, ctx, bst)
+    def body(y_, layer):
+        bp, bst = layer
+        out = transformer_block(bp, y_, ctx, heads=heads, mode=mode,
+                                state=bst, impl=impl)
+        return out, None
+
+    if remat:
+        body = jax.checkpoint(body)
+
+    num_layers = jax.tree.leaves(p["transformer_blocks"])[0].shape[0]
+    if st_blocks is None:
+        st_scan = None
+    else:
+        st_scan = st_blocks
+    if num_layers == 1:
+        # avoid scan overhead for single-layer stacks
+        layer = jax.tree.map(lambda a: a[0], (p["transformer_blocks"],
+                                              st_scan))
+        y, _ = body(y, layer)
+    else:
+        y, _ = jax.lax.scan(body, y, (p["transformer_blocks"], st_scan))
 
     y = layers.linear(p["proj_out"], y)
     return y.reshape(n, h, w, c) + residual

@@ -114,10 +114,13 @@ def stage2_loss(params, unet_cfg: UNetConfig, sched, batch, key, *,
     loss_orth = jnp.float32(0.0)
     if lambda_orth > 0.0 and pairs:
         total = jnp.float32(0.0)
-        for tpath, spath in pairs:
-            total = total + orthogonality_loss(tree_get(params, tpath),
-                                               tree_get(params, spath))
-        loss_orth = lambda_orth * total / len(pairs)
+        count = 0
+        for tpath, spath, n in pairs:
+            tl = jax.tree.map(lambda a: a[:n], tree_get(params, tpath))
+            sl = jax.tree.map(lambda a: a[:n], tree_get(params, spath))
+            total = total + jnp.sum(jax.vmap(orthogonality_loss)(tl, sl))
+            count += n
+        loss_orth = lambda_orth * total / count
 
     return loss_mse + loss_orth, {"loss_mse": loss_mse,
                                   "loss_orth": loss_orth}
