@@ -1,0 +1,164 @@
+"""Video clip dataset (stage-2) + frame extraction (stage-1).
+
+Host-side decode (cv2), device-side everything else. Functional
+re-design of the reference datasets:
+
+- VideoClipDataset: scans a directory (one level of subdirs) for .mp4s,
+  one index entry per possible clip start, reads CONSECUTIVE frames,
+  BGR->RGB, square resize, [-1,1] normalize, pads short reads by
+  repeating the last frame (reference animatediff/video_dataset.py:49-142).
+- extract_frames: N evenly-spaced frames from one .mp4 (middle frame when
+  N==1) for the stage-1 image trainer (reference
+  train_unziplora.py:867-1029, extraction :902-941).
+
+Determinism: clip sampling is keyed by an integer seed instead of global
+np.random state (reference uses np.random, video_dataset.py:93).
+Output layout is frames-last-channels (F, H, W, 3) float32 — NHWC,
+matching the TPU compute path (no NCHW permutes).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _require_cv2():
+    try:
+        import cv2
+        return cv2
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("opencv-python required for video decode") from e
+
+
+def list_videos(root: str) -> List[str]:
+    """.mp4 files directly under root plus one level of subdirectories,
+    sorted for determinism."""
+    out = []
+    for entry in sorted(os.listdir(root)):
+        p = os.path.join(root, entry)
+        if entry.lower().endswith(".mp4"):
+            out.append(p)
+        elif os.path.isdir(p):
+            for sub in sorted(os.listdir(p)):
+                if sub.lower().endswith(".mp4"):
+                    out.append(os.path.join(p, sub))
+    return out
+
+
+def _read_frames(cap, start: int, count: int, resolution: int):
+    cv2 = _require_cv2()
+    cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+    frames = []
+    for _ in range(count):
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        frame = cv2.resize(frame, (resolution, resolution),
+                           interpolation=cv2.INTER_AREA)
+        frames.append(frame)
+    return frames
+
+
+def _pad_repeat(frames: List[np.ndarray], count: int) -> List[np.ndarray]:
+    while frames and len(frames) < count:
+        frames.append(frames[-1].copy())
+    return frames
+
+
+def _normalize(frames: Sequence[np.ndarray]) -> np.ndarray:
+    arr = np.stack(frames).astype(np.float32)
+    return arr / 127.5 - 1.0
+
+
+class VideoClipDataset:
+    """Index of (video, start_frame) pairs with random-access clip
+    loading. __getitem__ -> (F, H, W, 3) float32 in [-1, 1]."""
+
+    def __init__(self, root: str, *, num_frames: int = 8,
+                 resolution: int = 1024, stride: int = 1):
+        cv2 = _require_cv2()
+        self.num_frames = num_frames
+        self.resolution = resolution
+        self.videos = list_videos(root)
+        if not self.videos:
+            raise FileNotFoundError(f"no .mp4 under {root}")
+        self.index: List[Tuple[str, int]] = []
+        for path in self.videos:
+            cap = cv2.VideoCapture(path)
+            total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            cap.release()
+            starts = range(0, max(total - num_frames + 1, 1), stride)
+            for s in starts:
+                self.index.append((path, s))
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        cv2 = _require_cv2()
+        path, start = self.index[i]
+        cap = cv2.VideoCapture(path)
+        frames = _read_frames(cap, start, self.num_frames, self.resolution)
+        cap.release()
+        if not frames:
+            raise IOError(f"failed to read frames from {path}@{start}")
+        frames = _pad_repeat(frames, self.num_frames)
+        return _normalize(frames)
+
+    def sample_batch(self, batch_size: int, seed: int) -> np.ndarray:
+        """(B, F, H, W, 3) deterministic given seed."""
+        rng = np.random.RandomState(seed)
+        idx = rng.randint(0, len(self.index), size=batch_size)
+        return np.stack([self[int(i)] for i in idx])
+
+
+def extract_frames(video_path: str, num_frames: int = 1,
+                   resolution: Optional[int] = None) -> np.ndarray:
+    """N evenly-spaced frames (middle frame when N == 1) ->
+    (N, H, W, 3) float32 in [-1, 1]."""
+    cv2 = _require_cv2()
+    cap = cv2.VideoCapture(video_path)
+    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    if total <= 0:
+        cap.release()
+        raise IOError(f"unreadable video: {video_path}")
+    if num_frames == 1:
+        positions = [total // 2]
+    else:
+        positions = np.linspace(0, total - 1, num_frames).round().astype(int)
+    frames = []
+    for pos in positions:
+        cap.set(cv2.CAP_PROP_POS_FRAMES, int(pos))
+        ok, frame = cap.read()
+        if not ok:
+            continue
+        frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        if resolution is not None:
+            frame = cv2.resize(frame, (resolution, resolution),
+                               interpolation=cv2.INTER_AREA)
+        frames.append(frame)
+    cap.release()
+    if not frames:
+        raise IOError(f"no frames decoded from {video_path}")
+    frames = _pad_repeat(frames, num_frames)
+    return _normalize(frames)
+
+
+def load_image_dir(root: str, resolution: int) -> np.ndarray:
+    """All images under root -> (N, res, res, 3) float32 in [-1, 1]
+    (stage-1 DreamBooth instance/class data when given as images)."""
+    from PIL import Image
+    exts = (".png", ".jpg", ".jpeg", ".webp", ".bmp")
+    paths = [os.path.join(root, f) for f in sorted(os.listdir(root))
+             if f.lower().endswith(exts)]
+    if not paths:
+        raise FileNotFoundError(f"no images under {root}")
+    out = []
+    for p in paths:
+        img = Image.open(p).convert("RGB").resize(
+            (resolution, resolution), Image.LANCZOS)
+        out.append(np.asarray(img))
+    return _normalize(out)
