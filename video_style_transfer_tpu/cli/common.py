@@ -1,0 +1,128 @@
+"""Shared CLI runtime: model assembly, text encoding, latent prep.
+
+Two source modes:
+- --pretrained_model <dir>: diffusers-layout SDXL directory (converted
+  via utils/hf_convert); tokenizers load from the same directory.
+- --smoke: tiny random-init models, synthetic conditioning — exercises
+  the full wiring with no weights (this environment has none).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from video_style_transfer_tpu.config import CLIPConfig, UNetConfig, VAEConfig
+from video_style_transfer_tpu.models.clip import encode_sdxl_prompt
+from video_style_transfer_tpu.models.unet import init_unet
+from video_style_transfer_tpu.models.vae import init_vae, vae_encode
+from video_style_transfer_tpu.pipelines.image import default_time_ids
+from video_style_transfer_tpu.pipelines.sampling import Conditioning
+
+
+@dataclass
+class ModelBundle:
+    unet: Any
+    unet_cfg: UNetConfig
+    vae: Any
+    vae_cfg: VAEConfig
+    clip_l: Any
+    clip_l_cfg: CLIPConfig
+    clip_g: Any
+    clip_g_cfg: CLIPConfig
+    tokenizer: Any = None       # pads with EOS
+    tokenizer_2: Any = None     # pads with 0
+    vae_scale_factor: int = 8
+    pooled_dim: int = 1280
+
+
+def load_models(pretrained_model: Optional[str], *, smoke: bool = False,
+                motion: bool = False, dtype=jnp.bfloat16,
+                seed: int = 0) -> ModelBundle:
+    if smoke or not pretrained_model:
+        ucfg = UNetConfig.tiny(use_motion_modules=motion)
+        vcfg = VAEConfig.tiny()
+        lcfg = CLIPConfig.tiny()
+        gcfg = CLIPConfig.tiny(projection_dim=16)
+        k = jax.random.PRNGKey(seed)
+        from video_style_transfer_tpu.models.clip import init_clip
+        return ModelBundle(
+            unet=init_unet(jax.random.PRNGKey(seed), ucfg, dtype=jnp.float32),
+            unet_cfg=ucfg,
+            vae=init_vae(jax.random.PRNGKey(seed + 1), vcfg),
+            vae_cfg=vcfg,
+            clip_l=init_clip(jax.random.PRNGKey(seed + 2), lcfg),
+            clip_l_cfg=lcfg,
+            clip_g=init_clip(jax.random.PRNGKey(seed + 3), gcfg),
+            clip_g_cfg=gcfg,
+            vae_scale_factor=2,
+            pooled_dim=32,
+        )
+
+    from video_style_transfer_tpu.data.tokenizer import CLIPTokenizer
+    from video_style_transfer_tpu.utils.hf_convert import load_sdxl
+
+    bundle = load_sdxl(pretrained_model, dtype=dtype, with_motion=motion)
+    tok = tok2 = None
+    tok_dir = os.path.join(pretrained_model, "tokenizer")
+    tok2_dir = os.path.join(pretrained_model, "tokenizer_2")
+    if os.path.isdir(tok_dir):
+        tok = CLIPTokenizer.from_dir(tok_dir)
+    if os.path.isdir(tok2_dir):
+        tok2 = CLIPTokenizer.from_dir(tok2_dir, pad_token_id=0)
+    unet, ucfg = bundle["unet"]
+    vae, vcfg = bundle["vae"]
+    clip_l, lcfg = bundle["clip_l"]
+    clip_g, gcfg = bundle["clip_g"]
+    return ModelBundle(unet, ucfg, vae, vcfg, clip_l, lcfg, clip_g, gcfg,
+                       tokenizer=tok, tokenizer_2=tok2)
+
+
+def encode_prompt(bundle: ModelBundle, prompt: str,
+                  key: Optional[jax.Array] = None) -> Tuple:
+    """(embeds (1, S, D), pooled (1, P)). Smoke mode (no tokenizer):
+    deterministic pseudo-embeddings derived from the prompt hash."""
+    if bundle.tokenizer is None:
+        seed = abs(hash(prompt)) % (2 ** 31)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        d = bundle.unet_cfg.cross_attention_dim
+        return (jax.random.normal(k1, (1, 7, d)),
+                jax.random.normal(k2, (1, bundle.pooled_dim)))
+    ids_l = jnp.asarray(bundle.tokenizer(prompt))
+    ids_g = jnp.asarray(bundle.tokenizer_2(prompt))
+    return encode_sdxl_prompt(bundle.clip_l, bundle.clip_l_cfg,
+                              bundle.clip_g, bundle.clip_g_cfg,
+                              ids_l, ids_g)
+
+
+def make_conditioning(bundle: ModelBundle, prompt: str,
+                      prompt_content: Optional[str] = None,
+                      prompt_style: Optional[str] = None, *,
+                      height: int, width: int) -> Conditioning:
+    emb, pooled = encode_prompt(bundle, prompt)
+    emb_c = emb_s = None
+    if prompt_content is not None:
+        emb_c, _ = encode_prompt(bundle, prompt_content)
+    if prompt_style is not None:
+        emb_s, _ = encode_prompt(bundle, prompt_style)
+    return Conditioning(ctx=(emb, emb_c, emb_s), pooled=pooled,
+                        time_ids=default_time_ids(height, width, 1))
+
+
+def negative_conditioning(bundle: ModelBundle, negative_prompt: str, *,
+                          height: int, width: int) -> Conditioning:
+    emb, pooled = encode_prompt(bundle, negative_prompt)
+    return Conditioning(ctx=(emb, emb, emb), pooled=pooled,
+                        time_ids=default_time_ids(height, width, 1))
+
+
+def encode_latents(bundle: ModelBundle, images: np.ndarray,
+                   key: Optional[jax.Array] = None) -> jnp.ndarray:
+    """(N, H, W, 3) [-1,1] -> scaled latents. fp32 encode (the reference
+    keeps the VAE fp32 in training, train_animatediff.py:67-71)."""
+    return vae_encode(bundle.vae, bundle.vae_cfg,
+                      jnp.asarray(images, jnp.float32), key=key)

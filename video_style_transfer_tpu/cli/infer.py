@@ -1,0 +1,99 @@
+"""Image inference CLI — the reference's 4 generation modes
+(infer.py:135-199): combined recontextualization (both LoRAs + mergers),
+content-only, style-only, plus base SDXL. Seeds default to the
+reference's fixed set {0, 1000, 111, 1234} (infer.py:14)."""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pretrained_model_name_or_path", default=None)
+    p.add_argument("--unziplora_name_or_path", default=None)
+    p.add_argument("--unziplora_name", default="unziplora")
+    p.add_argument("--prompt", required=True)
+    p.add_argument("--prompt_content", default=None)
+    p.add_argument("--prompt_style", default=None)
+    p.add_argument("--negative_prompt", default="")
+    p.add_argument("--mode", default="both",
+                   choices=["both", "content", "style", "base"])
+    p.add_argument("--output_dir", default="out/images")
+    p.add_argument("--num_inference_steps", type=int, default=50)
+    p.add_argument("--guidance_scale", type=float, default=5.0)
+    p.add_argument("--resolution", type=int, default=1024)
+    p.add_argument("--sampler", default="euler", choices=["euler", "dpm"])
+    p.add_argument("--seeds", type=int, nargs="+",
+                   default=[0, 1000, 111, 1234])
+    p.add_argument("--smoke", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from video_style_transfer_tpu.cli import common
+    from video_style_transfer_tpu.data.video_io import save_image
+    from video_style_transfer_tpu.lora import interop
+    from video_style_transfer_tpu.lora.surgery import insert_unziplora
+    from video_style_transfer_tpu.pipelines.image import generate_images
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    bundle = common.load_models(args.pretrained_model_name_or_path,
+                                smoke=args.smoke, motion=False)
+    res = args.resolution if not args.smoke else 16
+    steps = args.num_inference_steps if not args.smoke else 2
+
+    params, state = bundle.unet, None
+    if args.mode != "base":
+        if args.unziplora_name_or_path:
+            base = args.unziplora_name_or_path
+            name = args.unziplora_name
+            params, state = interop.import_state_dicts(
+                bundle.unet,
+                interop.load_safetensors(os.path.join(
+                    base, f"{name}_content",
+                    "pytorch_lora_weights.safetensors")),
+                interop.load_safetensors(os.path.join(
+                    base, f"{name}_style",
+                    "pytorch_lora_weights.safetensors")),
+                interop.load_merger_pth(os.path.join(
+                    base, f"{name}_merger_content.pth")),
+                interop.load_merger_pth(os.path.join(
+                    base, f"{name}_merger_style.pth")))
+        elif args.smoke:
+            params, state = insert_unziplora(bundle.unet,
+                                             jax.random.PRNGKey(0), rank=4)
+        else:
+            raise SystemExit("--unziplora_name_or_path required for "
+                             "LoRA modes")
+
+    cond = common.make_conditioning(bundle, args.prompt,
+                                    args.prompt_content, args.prompt_style,
+                                    height=res, width=res)
+    uncond = common.negative_conditioning(bundle, args.negative_prompt,
+                                          height=res, width=res)
+    run = jax.jit(lambda p, key: generate_images(
+        p, bundle.unet_cfg, bundle.vae, bundle.vae_cfg, uncond, cond, key,
+        height=res, width=res, num_steps=steps,
+        cfg_scale=args.guidance_scale, sampler=args.sampler,
+        mode=args.mode, state=state,
+        dtype=jnp.float32 if args.smoke else jnp.bfloat16,
+        vae_scale_factor=bundle.vae_scale_factor))
+
+    outs = []
+    for seed in args.seeds:
+        imgs = run(params, jax.random.PRNGKey(seed))
+        path = os.path.join(args.output_dir,
+                            f"{args.mode}_seed{seed}.png")
+        save_image(jax.device_get(imgs[0]), path)
+        outs.append(path)
+        print("wrote", path)
+    return outs
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""Stage-2 CLI: temporal-LoRA motion fine-tuning on a single video.
+
+Flag surface mirrors the reference (train_animatediff.sh:14-88 /
+train_animatediff.py:360-430): frozen SDXL + Stage-1 UnZipLoRA, trainable
+temporal LoRA (rank 32) on motion-module projections + motion norms,
+eps-MSE + orthogonality loss, AdamW cosine warmup. --smoke for a
+weights-free wiring test.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pretrained_model_name_or_path", default=None)
+    p.add_argument("--unziplora_name_or_path", default=None,
+                   help="stage-1 artifact dir (content/style/merger)")
+    p.add_argument("--unziplora_name", default="unziplora")
+    p.add_argument("--video_dir", default=None)
+    p.add_argument("--prompt", required=True)
+    p.add_argument("--output_dir", default="out/animatediff")
+    p.add_argument("--num_frames", type=int, default=8)
+    p.add_argument("--resolution", type=int, default=1024)
+    p.add_argument("--train_batch_size", type=int, default=1)
+    p.add_argument("--max_train_steps", type=int, default=1000)
+    p.add_argument("--learning_rate", type=float, default=2e-5)
+    p.add_argument("--lr_warmup_steps", type=int, default=100)
+    p.add_argument("--weight_decay", type=float, default=1e-2)
+    p.add_argument("--max_grad_norm", type=float, default=0.5)
+    p.add_argument("--temporal_lora_rank", type=int, default=32)
+    p.add_argument("--temporal_lora_alpha", type=float, default=1.0)
+    p.add_argument("--lambda_orth", type=float, default=1e-4)
+    p.add_argument("--cfg_dropout", type=float, default=0.1)
+    p.add_argument("--prediction_type", default="epsilon",
+                   choices=["epsilon", "v_prediction"])
+    p.add_argument("--unfreeze_mergers", action="store_true")
+    p.add_argument("--checkpointing_steps", type=int, default=500)
+    p.add_argument("--resume_from_checkpoint", default=None)
+    p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--smoke", action="store_true")
+    p.add_argument("--smoke_steps", type=int, default=None)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from video_style_transfer_tpu.cli import common
+    from video_style_transfer_tpu.data.video import VideoClipDataset
+    from video_style_transfer_tpu.lora import interop
+    from video_style_transfer_tpu.lora.surgery import (
+        insert_temporal_lora, insert_unziplora, spatial_pairs)
+    from video_style_transfer_tpu.schedulers.ddpm import make_schedule
+    from video_style_transfer_tpu.training import stage2
+    from video_style_transfer_tpu.utils import checkpoint as ckpt
+    from video_style_transfer_tpu.utils.observability import (
+        MetricsLogger, StepTimer)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    bundle = common.load_models(args.pretrained_model_name_or_path,
+                                smoke=args.smoke, motion=True)
+    res = args.resolution if not args.smoke else 16
+    f = args.num_frames if not args.smoke else 4
+
+    # ---- stage-1 LoRA: load trained artifacts or random (smoke) --------
+    if args.unziplora_name_or_path:
+        base = args.unziplora_name_or_path
+        name = args.unziplora_name
+        content_sd = interop.load_safetensors(os.path.join(
+            base, f"{name}_content", "pytorch_lora_weights.safetensors"))
+        style_sd = interop.load_safetensors(os.path.join(
+            base, f"{name}_style", "pytorch_lora_weights.safetensors"))
+        merger_c = interop.load_merger_pth(
+            os.path.join(base, f"{name}_merger_content.pth"))
+        merger_s = interop.load_merger_pth(
+            os.path.join(base, f"{name}_merger_style.pth"))
+        params, lora_state = interop.import_state_dicts(
+            bundle.unet, content_sd, style_sd, merger_c, merger_s)
+    else:
+        params, lora_state = insert_unziplora(
+            bundle.unet, jax.random.PRNGKey(args.seed), rank=4)
+
+    params = insert_temporal_lora(params, jax.random.PRNGKey(args.seed + 1),
+                                  rank=args.temporal_lora_rank,
+                                  alpha=args.temporal_lora_alpha)
+    pairs = spatial_pairs(params)
+
+    # ---- data ----------------------------------------------------------
+    if args.smoke or not args.video_dir:
+        def sample_clip(seed):
+            return np.asarray(jax.random.uniform(
+                jax.random.PRNGKey(seed),
+                (args.train_batch_size, f, res, res, 3),
+                minval=-1.0, maxval=1.0))
+    else:
+        ds = VideoClipDataset(args.video_dir, num_frames=f, resolution=res)
+
+        def sample_clip(seed):
+            return ds.sample_batch(args.train_batch_size, seed)
+
+    emb, pooled = common.encode_prompt(bundle, args.prompt)
+
+    # ---- trainer -------------------------------------------------------
+    max_steps = args.smoke_steps or args.max_train_steps
+    mask = stage2.trainable_mask(params,
+                                 train_mergers=args.unfreeze_mergers)
+    opt = stage2.make_optimizer(mask, lr=args.learning_rate,
+                                total_steps=max_steps,
+                                warmup=args.lr_warmup_steps,
+                                weight_decay=args.weight_decay,
+                                max_grad_norm=args.max_grad_norm)
+    sched = make_schedule()
+    step_fn = jax.jit(stage2.make_train_step(
+        bundle.unet_cfg, sched, opt, pairs, lambda_orth=args.lambda_orth,
+        prediction_type=args.prediction_type, lora_state=lora_state,
+        remat=not args.smoke))
+    state = stage2.init_state(params, opt)
+
+    ckpt_dir = os.path.join(args.output_dir, "checkpoints")
+    if args.resume_from_checkpoint:
+        path = (ckpt.latest_checkpoint(ckpt_dir)
+                if args.resume_from_checkpoint == "latest"
+                else args.resume_from_checkpoint)
+        if path:
+            state = ckpt.restore_checkpoint(path, state)
+            print(f"resumed from {path} at step {int(state.step)}")
+
+    logger = MetricsLogger(args.output_dir)
+    timer = StepTimer()
+    rng = jax.random.PRNGKey(args.seed)
+    b = args.train_batch_size
+
+    for step in range(int(state.step), max_steps):
+        rng, key = jax.random.split(rng)
+        frames = sample_clip(args.seed * 1000 + step)
+        latents = common.encode_latents(
+            bundle, frames.reshape(-1, res, res, 3))
+        lh = latents.shape[1]
+        batch = {
+            "latents": latents.reshape(b, f, lh, lh, 4),
+            "ctx": jnp.repeat(emb, b, axis=0),
+            "pooled": jnp.repeat(pooled, b, axis=0),
+            "time_ids": jnp.tile(
+                jnp.asarray([[res, res, 0, 0, res, res]], jnp.float32),
+                (b, 1)),
+        }
+        state, metrics = step_fn(state, batch, key)
+        if step % args.log_every == 0 or step == max_steps - 1:
+            scalars = {k: float(v) for k, v in metrics.items()}
+            scalars["sec_per_step"] = timer.lap()
+            logger.log(step, scalars)
+            print(f"step {step}: loss={scalars['loss']:.4f} "
+                  f"mse={scalars['loss_mse']:.4f} "
+                  f"orth={scalars['loss_orth']:.6f}")
+        if (step + 1) % args.checkpointing_steps == 0:
+            ckpt.save_checkpoint(ckpt_dir, state, step + 1)
+
+    out = os.path.join(args.output_dir, "motion_modules.safetensors")
+    ckpt.export_motion_checkpoint(out, state.params)
+    print("saved motion checkpoint:", out)
+    logger.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

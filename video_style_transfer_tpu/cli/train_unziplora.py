@@ -1,0 +1,210 @@
+"""Stage-1 CLI: joint content/style UnZipLoRA training.
+
+Flag surface mirrors the reference trainer's script interface
+(train.sh:44-77 / train_unziplora.py:198-864 — the subset that is live in
+the published recipe), driving the functional trainer in
+training/stage1.py. Run with --smoke for a weights-free wiring test.
+
+Example (reference recipe, original/README.md:43-60):
+  python -m video_style_transfer_tpu.cli.train_unziplora \
+    --pretrained_model_name_or_path /path/sdxl \
+    --instance_video data/horse.mp4 --num_instance_frames 1 \
+    --instance_prompt "a sbu horse in szn style" \
+    --content_forward_prompt "a sbu horse" \
+    --style_forward_prompt "an image in szn style" \
+    --rank 64 --max_train_steps 600 \
+    --content_learning_rate 5e-5 --style_learning_rate 5e-5 \
+    --weight_learning_rate 5e-3 --similarity_lambda 0.5 \
+    --with_period_column_separation --sample_times 3 --column_ratio 0.1
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pretrained_model_name_or_path", default=None)
+    p.add_argument("--instance_video", default=None)
+    p.add_argument("--instance_data_dir", default=None,
+                   help="image directory alternative to --instance_video")
+    p.add_argument("--num_instance_frames", type=int, default=1)
+    p.add_argument("--instance_prompt", required=True)
+    p.add_argument("--content_forward_prompt", required=True)
+    p.add_argument("--style_forward_prompt", required=True)
+    p.add_argument("--output_dir", default="out/unziplora")
+    p.add_argument("--name", default="unziplora")
+    p.add_argument("--rank", type=int, default=64)
+    p.add_argument("--resolution", type=int, default=1024)
+    p.add_argument("--train_batch_size", type=int, default=1)
+    p.add_argument("--max_train_steps", type=int, default=600)
+    p.add_argument("--content_learning_rate", type=float, default=5e-5)
+    p.add_argument("--style_learning_rate", type=float, default=5e-5)
+    p.add_argument("--weight_learning_rate", type=float, default=5e-3)
+    p.add_argument("--similarity_lambda", type=float, default=0.5)
+    p.add_argument("--lr_scheduler", default="constant",
+                   choices=["constant", "cosine"])
+    p.add_argument("--lr_warmup_steps", type=int, default=0)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--checkpointing_steps", type=int, default=500)
+    p.add_argument("--checkpoints_total_limit", type=int, default=None)
+    p.add_argument("--resume_from_checkpoint", default=None,
+                   help="'latest' or a checkpoint path (the reference "
+                        "never implemented this; we do)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--with_period_column_separation", action="store_true")
+    p.add_argument("--sample_times", type=int, default=3)
+    p.add_argument("--column_ratio", type=float, default=0.1)
+    p.add_argument("--with_no_overlap_first", action="store_true",
+                   default=True)
+    p.add_argument("--with_finetune_mask", action="store_true")
+    p.add_argument("--with_freeze_unet", action="store_true",
+                   help="enable the reference's hard-coded block-"
+                        "separation mask dictionaries "
+                        "(train_unziplora.py:1582-1599)")
+    p.add_argument("--validation_prompt", default=None)
+    p.add_argument("--validation_epochs", type=int, default=200)
+    p.add_argument("--report_to", default="jsonl",
+                   choices=["jsonl", "tensorboard", "wandb"])
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny random models, synthetic data")
+    p.add_argument("--smoke_steps", type=int, default=None)
+    return p
+
+
+# The reference's published block-separation recipe
+# (train_unziplora.py:1582-1599)
+FREEZE_UNET_CONTENT = {"mid_block": ["N_0_A_A"],
+                       "up_blocks.": ["1_A_A_A", "0_1_A_A"],
+                       "down_blocks.": ["A_A_A_A"]}
+FREEZE_UNET_STYLE = {"mid_block": ["N_0_A_A"],
+                     "up_blocks.": ["0_0,2_A_A"],
+                     "down_blocks.": ["A_A_A_A"]}
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from video_style_transfer_tpu.cli import common
+    from video_style_transfer_tpu.data.video import (
+        extract_frames, load_image_dir)
+    from video_style_transfer_tpu.lora.surgery import (
+        insert_unziplora, layer_assignments)
+    from video_style_transfer_tpu.schedulers.ddpm import make_schedule
+    from video_style_transfer_tpu.training import stage1
+    from video_style_transfer_tpu.utils import checkpoint as ckpt
+    from video_style_transfer_tpu.utils.observability import (
+        MetricsLogger, StepTimer)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    bundle = common.load_models(args.pretrained_model_name_or_path,
+                                smoke=args.smoke, motion=False)
+    res = args.resolution if not args.smoke else 16
+
+    # ---- data: N frames from one video (or an image dir) --------------
+    if args.smoke:
+        images = np.asarray(jax.random.uniform(
+            jax.random.PRNGKey(1), (args.num_instance_frames, res, res, 3),
+            minval=-1.0, maxval=1.0))
+    elif args.instance_video:
+        images = extract_frames(args.instance_video,
+                                args.num_instance_frames, resolution=res)
+    elif args.instance_data_dir:
+        images = load_image_dir(args.instance_data_dir, res)
+    else:
+        raise SystemExit("need --instance_video or --instance_data_dir")
+
+    latents = common.encode_latents(bundle, images)
+    emb, pooled = common.encode_prompt(bundle, args.instance_prompt)
+    emb_c, _ = common.encode_prompt(bundle, args.content_forward_prompt)
+    emb_s, _ = common.encode_prompt(bundle, args.style_forward_prompt)
+
+    # ---- model surgery + trainer --------------------------------------
+    params, lora_state = insert_unziplora(
+        bundle.unet, jax.random.PRNGKey(args.seed), rank=args.rank)
+
+    mask_c = FREEZE_UNET_CONTENT if args.with_freeze_unet else {}
+    mask_s = FREEZE_UNET_STYLE if args.with_freeze_unet else {}
+    assignments = layer_assignments(
+        params, mask_c, mask_s,
+        layers_per_block=bundle.unet_cfg.layers_per_block)
+
+    max_steps = args.smoke_steps or args.max_train_steps
+    sep = stage1.ColumnSepConfig(
+        enabled=args.with_period_column_separation,
+        max_steps=max_steps, sample_times=args.sample_times,
+        steps_per_epoch=max(len(images) // args.train_batch_size, 1),
+        column_ratio=args.column_ratio, avoid=args.with_no_overlap_first,
+        finetune_mask=args.with_finetune_mask)
+
+    opt = stage1.make_optimizer(
+        params, lr_content=args.content_learning_rate,
+        lr_style=args.style_learning_rate,
+        lr_merger=args.weight_learning_rate,
+        max_grad_norm=args.max_grad_norm, total_steps=max_steps,
+        warmup=args.lr_warmup_steps, schedule=args.lr_scheduler)
+
+    sched = make_schedule()
+    step_fn = jax.jit(stage1.make_train_step(
+        bundle.unet_cfg, sched, opt, sep_cfg=sep, assignments=assignments,
+        similarity_lambda=args.similarity_lambda, remat=not args.smoke))
+
+    state = stage1.init_state(params, lora_state, opt)
+
+    ckpt_dir = os.path.join(args.output_dir, "checkpoints")
+    if args.resume_from_checkpoint:
+        path = (ckpt.latest_checkpoint(ckpt_dir)
+                if args.resume_from_checkpoint == "latest"
+                else args.resume_from_checkpoint)
+        if path:
+            state = ckpt.restore_checkpoint(path, state)
+            print(f"resumed from {path} at step {int(state.step)}")
+
+    logger = MetricsLogger(args.output_dir,
+                           use_tensorboard=args.report_to == "tensorboard",
+                           use_wandb=args.report_to == "wandb")
+    timer = StepTimer()
+    rng = jax.random.PRNGKey(args.seed)
+    b = args.train_batch_size
+
+    n = latents.shape[0]
+    start = int(state.step)
+    for step in range(start, max_steps):
+        rng, key, bkey = jax.random.split(rng, 3)
+        idx = jax.random.randint(bkey, (b,), 0, n)
+        batch = {
+            "latents": latents[idx],
+            "ctx": jnp.repeat(emb, b, axis=0),
+            "ctx_content": jnp.repeat(emb_c, b, axis=0),
+            "ctx_style": jnp.repeat(emb_s, b, axis=0),
+            "pooled": jnp.repeat(pooled, b, axis=0),
+            "time_ids": jnp.tile(
+                jnp.asarray([[res, res, 0, 0, res, res]], jnp.float32),
+                (b, 1)),
+        }
+        state, metrics = step_fn(state, batch, key)
+        if step % 10 == 0 or step == max_steps - 1:
+            scalars = {k: float(v) for k, v in metrics.items()}
+            scalars["sec_per_step"] = timer.lap() / max(step - start, 1) \
+                if step else timer.lap()
+            logger.log(step, scalars)
+            print(f"step {step}: loss={scalars['loss']:.4f}")
+        if (step + 1) % args.checkpointing_steps == 0:
+            ckpt.save_checkpoint(ckpt_dir, state, step + 1,
+                                 total_limit=args.checkpoints_total_limit)
+
+    # ---- final artifacts (reference format) ---------------------------
+    paths = ckpt.export_stage1_artifacts(args.output_dir, args.name,
+                                         state.params, state.lora_state)
+    print("saved artifacts:", paths)
+    logger.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""Checkpoint / resume via orbax + reference-format artifact export.
+
+The reference saves state but never implemented resume
+(--resume_from_checkpoint raises NotImplementedError,
+train_unziplora.py:1985-1986); checkpoint rotation keeps
+checkpoints_total_limit newest (:2190-2217). Here:
+
+- save_checkpoint / restore_checkpoint: full train state (params,
+  opt_state, lora_state, step) via orbax — preemption-safe real resume
+- rotation with the same keep-newest semantics
+- export_stage1_artifacts: the reference's 4 stage-1 artifacts
+  (*_content/ *_style/ safetensors + merger .pth pair,
+  train_unziplora.py:2384-2417)
+- export_motion_checkpoint: stage-2 motion_modules weights with temporal
+  LoRA folded in (animatediff/utils.py:102-145)
+"""
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import Any, Optional
+
+import numpy as np
+import jax
+
+from video_style_transfer_tpu.lora import interop
+from video_style_transfer_tpu.lora.surgery import (
+    PROJS, iter_motion_attention_paths, tree_get)
+from video_style_transfer_tpu.lora.temporal import merge_into_kernel
+
+
+def _ckptr():
+    import orbax.checkpoint as ocp
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(ckpt_dir: str, state: Any, step: int, *,
+                    total_limit: Optional[int] = None):
+    """Write <ckpt_dir>/checkpoint-<step>; rotate to keep the newest
+    `total_limit` (reference rotation train_unziplora.py:2190-2217)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    if total_limit is not None:
+        existing = sorted(
+            (d for d in os.listdir(ckpt_dir) if
+             re.fullmatch(r"checkpoint-\d+", d)),
+            key=lambda d: int(d.split("-")[1]))
+        while len(existing) >= total_limit:
+            shutil.rmtree(os.path.join(ckpt_dir, existing.pop(0)))
+    path = os.path.abspath(os.path.join(ckpt_dir, f"checkpoint-{step}"))
+    ckptr = _ckptr()
+    ckptr.save(path, state)
+    ckptr.wait_until_finished()
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    ckpts = [d for d in os.listdir(ckpt_dir)
+             if re.fullmatch(r"checkpoint-\d+", d)]
+    if not ckpts:
+        return None
+    newest = max(ckpts, key=lambda d: int(d.split("-")[1]))
+    return os.path.abspath(os.path.join(ckpt_dir, newest))
+
+
+def restore_checkpoint(path: str, abstract_state: Any) -> Any:
+    """abstract_state: a pytree of arrays (or ShapeDtypeStructs) matching
+    the saved structure."""
+    return _ckptr().restore(path, abstract_state)
+
+
+# ---------------------------------------------------------------------------
+# Reference-format artifacts
+# ---------------------------------------------------------------------------
+
+def export_stage1_artifacts(out_dir: str, name: str, params, lora_state):
+    """Write the reference's final stage-1 artifact set
+    (train_unziplora.py:2384-2417):
+      {name}_content/pytorch_lora_weights.safetensors
+      {name}_style/pytorch_lora_weights.safetensors
+      {name}_merger_content.pth / {name}_merger_style.pth
+    """
+    paths = {}
+    for branch in ("content", "style"):
+        lora_sd, merger_sd = interop.export_state_dicts(params, lora_state,
+                                                        branch)
+        d = os.path.join(out_dir, f"{name}_{branch}")
+        os.makedirs(d, exist_ok=True)
+        f = os.path.join(d, "pytorch_lora_weights.safetensors")
+        interop.save_safetensors(lora_sd, f)
+        m = os.path.join(out_dir, f"{name}_merger_{branch}.pth")
+        interop.save_merger_pth(merger_sd, m)
+        paths[branch] = f
+        paths[f"merger_{branch}"] = m
+    return paths
+
+
+def export_motion_checkpoint(out_path: str, params):
+    """Stage-2 checkpoint: every motion-module weight with the temporal
+    LoRA delta folded into the base kernels (wrapper-free inference,
+    reference get_merged_motion_state_dict, temporal_lora.py:169-192).
+    Saved as safetensors of numpy arrays keyed by pytree path."""
+    from video_style_transfer_tpu.utils.hf_convert import (
+        export_to_state_dict)
+
+    merged = params
+    from video_style_transfer_tpu.lora.surgery import tree_set
+    for apath in iter_motion_attention_paths(params):
+        attn = tree_get(merged, apath)
+        for proj in PROJS:
+            p = attn[proj]
+            if "tlora" not in p:
+                continue
+            kernel = jax.vmap(merge_into_kernel)(p["kernel"], p["tlora"])
+            new_p = {k: v for k, v in p.items() if k != "tlora"}
+            new_p["kernel"] = kernel
+            merged = tree_set(merged, apath + (proj,), new_p)
+
+    sd = export_to_state_dict(merged)
+    motion_sd = {k: v for k, v in sd.items() if "motion_modules" in k}
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    interop.save_safetensors(motion_sd, out_path)
+    return motion_sd
