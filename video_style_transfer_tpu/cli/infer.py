@@ -16,6 +16,11 @@ def build_parser():
     p.add_argument("--pretrained_model_name_or_path", default=None)
     p.add_argument("--unziplora_name_or_path", default=None)
     p.add_argument("--unziplora_name", default="unziplora")
+    p.add_argument("--style_name_or_path", default=None,
+                   help="cross-image generation: take the style branch "
+                        "from a DIFFERENT trained artifact set "
+                        "(playground.ipynb cells 12-21 capability)")
+    p.add_argument("--style_name", default=None)
     p.add_argument("--prompt", required=True)
     p.add_argument("--prompt_content", default=None)
     p.add_argument("--prompt_style", default=None)
@@ -52,18 +57,20 @@ def main(argv=None):
         if args.unziplora_name_or_path:
             base = args.unziplora_name_or_path
             name = args.unziplora_name
+            style_base = args.style_name_or_path or base
+            style_name = args.style_name or name
             params, state = interop.import_state_dicts(
                 bundle.unet,
                 interop.load_safetensors(os.path.join(
                     base, f"{name}_content",
                     "pytorch_lora_weights.safetensors")),
                 interop.load_safetensors(os.path.join(
-                    base, f"{name}_style",
+                    style_base, f"{style_name}_style",
                     "pytorch_lora_weights.safetensors")),
                 interop.load_merger_pth(os.path.join(
                     base, f"{name}_merger_content.pth")),
                 interop.load_merger_pth(os.path.join(
-                    base, f"{name}_merger_style.pth")))
+                    style_base, f"{style_name}_merger_style.pth")))
         elif args.smoke:
             params, state = insert_unziplora(bundle.unet,
                                              jax.random.PRNGKey(0), rank=4)

@@ -1,0 +1,40 @@
+"""Multi-host initialization.
+
+The reference's only process boundary is HF Accelerate's process-group
+init (train_unziplora.py:1129-1139). The TPU equivalent is
+jax.distributed.initialize before any backend use; afterwards the same
+('data', 'frame') mesh spans all hosts and every jitted step is a single
+SPMD program — XLA routes collectives over ICI within a slice and DCN
+across slices.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Initialize multi-host JAX when environment or args describe a
+    multi-process topology; no-op (returns False) for single-host runs.
+
+    On Cloud TPU pods the arguments auto-populate from the metadata
+    server; elsewhere pass them or set JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID.
+    """
+    import jax
+
+    coordinator_address = (coordinator_address
+                           or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+
+    if coordinator_address is None and num_processes in (None, 1):
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id)
+    return True

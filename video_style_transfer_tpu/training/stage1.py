@@ -92,7 +92,11 @@ def make_optimizer(params, *, lr_content: float = 5e-5,
                    b2: float = 0.999, eps: float = 1e-8,
                    max_grad_norm: float = 1.0,
                    total_steps: int = 600, warmup: int = 0,
-                   schedule: str = "constant"):
+                   schedule: str = "constant",
+                   optimizer: str = "adamw"):
+    """optimizer: 'adamw' or 'prodigy' (the reference offers AdamW /
+    8-bit Adam / Prodigy, train_unziplora.py:1615-1671; 8-bit Adam is a
+    CUDA-memory trick with no TPU analog needed — LoRA states are tiny)."""
     def lr_sched(lr):
         if schedule == "constant":
             return lr
@@ -102,6 +106,10 @@ def make_optimizer(params, *, lr_content: float = 5e-5,
         raise ValueError(schedule)
 
     def group(lr):
+        if optimizer == "prodigy":
+            return optax.contrib.prodigy(learning_rate=1.0,
+                                         betas=(b1, b2),
+                                         weight_decay=weight_decay)
         return optax.adamw(lr_sched(lr), b1=b1, b2=b2, eps=eps,
                            weight_decay=weight_decay)
 
