@@ -69,3 +69,24 @@ def test_gradients_match_xla():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_gradients_ragged_and_crossattn():
+    """Backward kernels with ragged kv tail and kv != q lengths."""
+    q = _rand((1, 200, 2, 64), 12)
+    k = _rand((1, 77, 2, 64), 13)
+    v = _rand((1, 77, 2, 64), 14)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, block_q=128,
+                                       block_k=128) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(sdpa_xla(q, k, v) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        assert bool(jnp.all(jnp.isfinite(a)))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)

@@ -14,10 +14,11 @@ Design (online softmax, grid-accumulated):
   in fp32 on the MXU; probabilities are cast back to the value dtype for
   the p@v matmul.
 
-Backward: custom_vjp whose bwd recomputes attention with the XLA path
-(exact gradients; the forward's memory win is what matters for inference
-— training wraps blocks in remat anyway). Dedicated bwd kernels are a
-planned optimization.
+Backward: dedicated dq and dk/dv Pallas kernels using the saved
+log-sum-exp — O(S) memory like the forward (an XLA recompute backward
+would materialize the (BH, S, S) probability matrix: ~21 GB for a
+16-frame CFG-doubled 1024^2 batch). Set VST_FLASH_XLA_BWD=1 to fall back
+to the XLA recompute backward for debugging.
 """
 from __future__ import annotations
 
@@ -36,8 +37,8 @@ DEFAULT_BLOCK_K = 1024
 NEG_INF = -1e30
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
-                 scale: float, kv_seq: int, block_k: int):
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
+                 acc_ref, *, scale: float, kv_seq: int, block_k: int):
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -86,6 +87,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
         denom = l_ref[:, :1]
         denom = jnp.where(denom == 0.0, 1.0, denom)
         o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+        lse_ref[0] = m_ref[:, 0] + jnp.log(denom[:, 0])
 
 
 def _flash_fwd_bhsd(q, k, v, *, scale: float, block_q: int, block_k: int,
@@ -113,8 +115,14 @@ def _flash_fwd_bhsd(q, k, v, *, scale: float, block_q: int, block_k: int,
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q), lambda b, i, j: (b, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, sq), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),   # running max
             pltpu.VMEM((block_q, 128), jnp.float32),   # running denom
@@ -134,22 +142,178 @@ def _xla_reference(q, k, v, scale):
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Backward kernels. Shared recompute: p = exp(q k^T * scale - lse),
+# ds = p * (dp - delta) * scale with dp = dO v^T and
+# delta = rowsum(dO * O) (computed in XLA — cheap elementwise).
+#   dq = ds k        (accumulated over kv blocks)
+#   dk = ds^T q,  dv = p^T dO   (accumulated over q blocks)
+# ---------------------------------------------------------------------------
+
+def _recompute_p_ds(q, k, v, do, lse, delta, *, scale, kv_seq, block_k, j,
+                    q_seq, block_q, i):
+    # mask padded kv columns / rows (see forward comment re 0 * garbage)
+    kv_tail = kv_seq - j * block_k
+    if kv_seq % block_k != 0:
+        row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+        v = jnp.where(row < kv_tail, v, 0)
+        k = jnp.where(row < kv_tail, k, 0)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if kv_seq % block_k != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_tail, s, NEG_INF)
+    p = jnp.exp(s - lse[:, None])
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta[:, None]) * scale
+    # padded q rows carry garbage lse/do/delta -> NaN p and ds; zero the
+    # rows themselves (p == 0 is not enough: 0 * NaN == NaN, and the
+    # dk/dv accumulation sums over rows)
+    if q_seq % block_q != 0:
+        q_tail = q_seq - i * block_q
+        rowq = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+        p = jnp.where(rowq < q_tail, p, 0.0)
+        ds = jnp.where(rowq < q_tail, ds, 0.0)
+    return p, ds
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+               acc_ref, *, scale, kv_seq, block_k, q_seq, block_q):
+    i, j = pl.program_id(1), pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    _, ds = _recompute_p_ds(
+        q_ref[0], k_ref[0], v_ref[0], do_ref[0], lse_ref[0], delta_ref[0],
+        scale=scale, kv_seq=kv_seq, block_k=block_k, q_seq=q_seq,
+        block_q=block_q, i=i, j=j)
+    acc_ref[:] += jax.lax.dot_general(
+        ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref,
+                dv_ref, dk_acc, dv_acc, *, scale, kv_seq, block_k, q_seq,
+                block_q):
+    j, i = pl.program_id(1), pl.program_id(2)  # kv outer, q inner
+    nq = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    p, ds = _recompute_p_ds(
+        q_ref[0], k_ref[0], v_ref[0], do_ref[0], lse_ref[0], delta_ref[0],
+        scale=scale, kv_seq=kv_seq, block_k=block_k, q_seq=q_seq,
+        block_q=block_q, i=i, j=j)
+    q_blk = q_ref[0]
+    do_blk = do_ref[0]
+    if q_seq % block_q != 0:
+        # the row-sum contractions touch padded q/do rows directly; even
+        # with p/ds zeroed there, 0 * garbage may be NaN — zero the rows
+        q_tail = q_seq - i * block_q
+        rowq = jax.lax.broadcasted_iota(jnp.int32, q_blk.shape, 0)
+        q_blk = jnp.where(rowq < q_tail, q_blk, 0)
+        do_blk = jnp.where(rowq < q_tail, do_blk, 0)
+    dv_acc[:] += jax.lax.dot_general(
+        p.astype(do_blk.dtype), do_blk, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dk_acc[:] += jax.lax.dot_general(
+        ds.astype(q_blk.dtype), q_blk, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i == nq - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_bhsd(q, k, v, do, o, lse, *, scale, block_q, block_k,
+                    interpret=None):
+    if interpret is None:
+        import os
+        interpret = jax.default_backend() != "tpu" or \
+            os.environ.get("VST_FLASH_INTERPRET") == "1"
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    nq = pl.cdiv(sq, block_q)
+    nk = pl.cdiv(sk, block_k)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1)
+
+    kern = dict(scale=scale, kv_seq=sk, block_k=block_k, q_seq=sq,
+                block_q=block_q)
+    q_spec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0))
+    kv_spec = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0))
+    row_spec = pl.BlockSpec((1, block_q), lambda b, i, j: (b, i))
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, **kern),
+        grid=(bh, nq, nk),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+
+    # dkv grid: kv outer, q inner (accumulate over q)
+    q_spec2 = pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0))
+    kv_spec2 = pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0))
+    row_spec2 = pl.BlockSpec((1, block_q), lambda b, j, i: (b, i))
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, **kern),
+        grid=(bh, nk, nq),
+        in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, row_spec2,
+                  row_spec2],
+        out_specs=[kv_spec2, kv_spec2],
+        out_shape=[jax.ShapeDtypeStruct((bh, sk, d), k.dtype),
+                   jax.ShapeDtypeStruct((bh, sk, d), v.dtype)],
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _flash_bhsd(q, k, v, scale, block_q, block_k):
-    return _flash_fwd_bhsd(q, k, v, scale=scale, block_q=block_q,
-                           block_k=block_k)
+    out, _ = _flash_fwd_bhsd(q, k, v, scale=scale, block_q=block_q,
+                             block_k=block_k)
+    return out
 
 
 def _flash_bhsd_fwd(q, k, v, scale, block_q, block_k):
-    return _flash_fwd_bhsd(q, k, v, scale=scale, block_q=block_q,
-                           block_k=block_k), (q, k, v)
+    out, lse = _flash_fwd_bhsd(q, k, v, scale=scale, block_q=block_q,
+                               block_k=block_k)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bhsd_bwd(scale, block_q, block_k, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, scale),
-                     q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = res
+    import os
+    if os.environ.get("VST_FLASH_XLA_BWD") == "1":
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _xla_reference(q_, k_, v_, scale), q, k, v)
+        return vjp(g)
+    return _flash_bwd_bhsd(q, k, v, g, o, lse, scale=scale,
+                           block_q=block_q, block_k=block_k)
 
 
 _flash_bhsd.defvjp(_flash_bhsd_fwd, _flash_bhsd_bwd)
