@@ -87,7 +87,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
         denom = l_ref[:, :1]
         denom = jnp.where(denom == 0.0, 1.0, denom)
         o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
-        lse_ref[0] = m_ref[:, 0] + jnp.log(denom[:, 0])
+        lse_ref[0, 0] = m_ref[:, 0] + jnp.log(denom[:, 0])
 
 
 def _flash_fwd_bhsd(q, k, v, *, scale: float, block_q: int, block_k: int,
@@ -117,11 +117,15 @@ def _flash_fwd_bhsd(q, k, v, *, scale: float, block_q: int, block_k: int,
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_q), lambda b, i, j: (b, i)),
+            # (bh, 1, sq): TPU lowering requires the block's last two dims
+            # to divide (8, 128) or equal the array dims — a (1, block_q)
+            # block on a (bh, sq) array is invalid, (1, block_q) on
+            # (1, sq) rows is fine
+            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, sq), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 1, sq), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),   # running max
@@ -189,9 +193,9 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     _, ds = _recompute_p_ds(
-        q_ref[0], k_ref[0], v_ref[0], do_ref[0], lse_ref[0], delta_ref[0],
-        scale=scale, kv_seq=kv_seq, block_k=block_k, q_seq=q_seq,
-        block_q=block_q, i=i, j=j)
+        q_ref[0], k_ref[0], v_ref[0], do_ref[0], lse_ref[0, 0],
+        delta_ref[0, 0], scale=scale, kv_seq=kv_seq, block_k=block_k,
+        q_seq=q_seq, block_q=block_q, i=i, j=j)
     acc_ref[:] += jax.lax.dot_general(
         ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -213,9 +217,9 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref,
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
     p, ds = _recompute_p_ds(
-        q_ref[0], k_ref[0], v_ref[0], do_ref[0], lse_ref[0], delta_ref[0],
-        scale=scale, kv_seq=kv_seq, block_k=block_k, q_seq=q_seq,
-        block_q=block_q, i=i, j=j)
+        q_ref[0], k_ref[0], v_ref[0], do_ref[0], lse_ref[0, 0],
+        delta_ref[0, 0], scale=scale, kv_seq=kv_seq, block_k=block_k,
+        q_seq=q_seq, block_q=block_q, i=i, j=j)
     q_blk = q_ref[0]
     do_blk = do_ref[0]
     if q_seq % block_q != 0:
@@ -251,13 +255,13 @@ def _flash_bwd_bhsd(q, k, v, do, o, lse, *, scale, block_q, block_k,
     nq = pl.cdiv(sq, block_q)
     nk = pl.cdiv(sk, block_k)
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
-                    axis=-1)
+                    axis=-1)[:, None, :]  # (bh, 1, sq) — see lse layout
 
     kern = dict(scale=scale, kv_seq=sk, block_k=block_k, q_seq=sq,
                 block_q=block_q)
     q_spec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0))
     kv_spec = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0))
-    row_spec = pl.BlockSpec((1, block_q), lambda b, i, j: (b, i))
+    row_spec = pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i))
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, **kern),
@@ -274,7 +278,7 @@ def _flash_bwd_bhsd(q, k, v, do, o, lse, *, scale, block_q, block_k,
     # dkv grid: kv outer, q inner (accumulate over q)
     q_spec2 = pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0))
     kv_spec2 = pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0))
-    row_spec2 = pl.BlockSpec((1, block_q), lambda b, j, i: (b, i))
+    row_spec2 = pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i))
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, **kern),
         grid=(bh, nk, nq),
