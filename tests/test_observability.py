@@ -1,0 +1,61 @@
+"""Observability tests: cone tools, per-block logging, metrics sink."""
+import json
+import os
+
+import numpy as np
+import jax
+
+from video_style_transfer_tpu.config import UNetConfig
+from video_style_transfer_tpu.lora.surgery import insert_unziplora
+from video_style_transfer_tpu.models.unet import init_unet
+from video_style_transfer_tpu.utils import observability as obs
+
+
+def test_cone_tools(tmp_path):
+    rng = np.random.RandomState(0)
+    w = rng.randn(16, 32).astype(np.float32)
+    g = rng.randn(16, 32).astype(np.float32) * 1e-3
+    cone = obs.cone_from_arrays(w, g)
+    np.testing.assert_allclose(cone, w * g)
+    sp = obs.cone_column_sparsity(cone, threshold=1e-5)
+    assert sp.shape == (32,) and np.all((0 <= sp) & (sp <= 1))
+    out = obs.render_cone_heatmaps({"layer_a": cone, "layer_b": cone},
+                                   str(tmp_path / "cone.png"))
+    assert os.path.getsize(out) > 0
+
+
+def test_block_logs():
+    cfg = UNetConfig.tiny()
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    params, _ = insert_unziplora(params, jax.random.PRNGKey(1), rank=4)
+    norms = obs.lora_norm_log(params, "content")
+    merges = obs.lora_merge_log(params, "style")
+    assert norms and merges
+    assert any("down_blocks.1.attentions.0" in k for k in norms)
+    assert all(v > 0 for v in norms.values())
+    # mergers init to 1.0
+    assert all(abs(v - 1.0) < 1e-6 for v in merges.values())
+
+
+def test_metrics_logger(tmp_path):
+    logger = obs.MetricsLogger(str(tmp_path))
+    logger.log(0, {"loss": 1.5})
+    logger.log(5, {"loss": 0.5, "lr": 1e-4})
+    logger.close()
+    lines = [json.loads(x) for x in
+             open(tmp_path / "metrics.jsonl").read().splitlines()]
+    assert lines[0]["step"] == 0 and lines[0]["loss"] == 1.5
+    assert lines[1]["lr"] == 1e-4
+
+
+def test_cone_cli(tmp_path):
+    rng = np.random.RandomState(1)
+    w = {"l1": rng.randn(8, 16).astype(np.float32)}
+    g = {"l1": rng.randn(8, 16).astype(np.float32)}
+    np.savez(tmp_path / "w.npz", **w)
+    np.savez(tmp_path / "g.npz", **g)
+    from video_style_transfer_tpu.cli.cone_diagnostics import main
+    out = main(["--weights", str(tmp_path / "w.npz"),
+                "--grads", str(tmp_path / "g.npz"),
+                "--output", str(tmp_path / "heat.png")])
+    assert os.path.getsize(out) > 0

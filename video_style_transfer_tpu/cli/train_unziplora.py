@@ -69,7 +69,14 @@ def build_parser():
                         "separation mask dictionaries "
                         "(train_unziplora.py:1582-1599)")
     p.add_argument("--validation_prompt", default=None)
-    p.add_argument("--validation_epochs", type=int, default=200)
+    p.add_argument("--validation_prompt_content", default=None)
+    p.add_argument("--validation_prompt_style", default=None)
+    p.add_argument("--validation_epochs", type=int, default=200,
+                   help="generate both/content/style validation images "
+                        "every N steps (reference "
+                        "train_unziplora.py:2263-2340)")
+    p.add_argument("--validation_steps", type=int, default=8,
+                   help="denoise steps for validation images")
     p.add_argument("--report_to", default="jsonl",
                    choices=["jsonl", "tensorboard", "wandb"])
     p.add_argument("--smoke", action="store_true",
@@ -86,6 +93,36 @@ FREEZE_UNET_CONTENT = {"mid_block": ["N_0_A_A"],
 FREEZE_UNET_STYLE = {"mid_block": ["N_0_A_A"],
                      "up_blocks.": ["0_0,2_A_A"],
                      "down_blocks.": ["A_A_A_A"]}
+
+
+def _run_validation(args, bundle, state, res, step):
+    """In-training validation images for both/content/style forward types
+    (reference train_unziplora.py:2263-2340)."""
+    import jax as _jax
+    from video_style_transfer_tpu.cli import common
+    from video_style_transfer_tpu.data.video_io import save_image
+    from video_style_transfer_tpu.pipelines.image import generate_images
+
+    val_dir = os.path.join(args.output_dir, "validation")
+    os.makedirs(val_dir, exist_ok=True)
+    uncond = common.negative_conditioning(bundle, "", height=res, width=res)
+    prompts = {
+        "both": args.validation_prompt,
+        "content": args.validation_prompt_content or args.validation_prompt,
+        "style": args.validation_prompt_style or args.validation_prompt,
+    }
+    for mode, prompt in prompts.items():
+        cond = common.make_conditioning(bundle, prompt, prompt, prompt,
+                                        height=res, width=res)
+        imgs = generate_images(
+            state.params, bundle.unet_cfg, bundle.vae, bundle.vae_cfg,
+            uncond, cond, _jax.random.PRNGKey(0), height=res, width=res,
+            num_steps=args.validation_steps, mode=mode,
+            state=state.lora_state,
+            dtype=jnp.float32 if args.smoke else jnp.bfloat16,
+            vae_scale_factor=bundle.vae_scale_factor)
+        save_image(jax.device_get(imgs[0]),
+                   os.path.join(val_dir, f"step{step}_{mode}.png"))
 
 
 def main(argv=None):
@@ -197,6 +234,9 @@ def main(argv=None):
         if (step + 1) % args.checkpointing_steps == 0:
             ckpt.save_checkpoint(ckpt_dir, state, step + 1,
                                  total_limit=args.checkpoints_total_limit)
+        if (args.validation_prompt
+                and (step + 1) % args.validation_epochs == 0):
+            _run_validation(args, bundle, state, res, step + 1)
 
     # ---- final artifacts (reference format) ---------------------------
     paths = ckpt.export_stage1_artifacts(args.output_dir, args.name,
