@@ -109,3 +109,34 @@ def test_lora_export_folds_mask_when_active():
     np.testing.assert_allclose(
         up[keep], np.asarray(lora["content"]["up"][0]).T[keep],
         rtol=1e-6)
+
+
+def test_import_single_lora():
+    """Plain single-LoRA loading (infer_single.sh path): one branch
+    carries the adapter, content mode reproduces the exported math."""
+    cfg = UNetConfig.tiny()
+    base = init_unet(jax.random.PRNGKey(0), cfg)
+    params, state = insert_unziplora(base, jax.random.PRNGKey(1), rank=4)
+    content_sd, _ = interop.export_state_dicts(params, state, "content")
+
+    re_params, re_state = interop.import_single_lora(base, content_sd,
+                                                     branch="content")
+    ks = jax.random.split(jax.random.PRNGKey(7), 5)
+    sample = jax.random.normal(ks[0], (1, 16, 16, 4))
+    t = jnp.array([3])
+    emb = jax.random.normal(ks[1], (1, 7, cfg.cross_attention_dim))
+    pooled = jax.random.normal(ks[2], (1, 32))
+    tids = jnp.tile(jnp.array([[16, 16, 0, 0, 16, 16]]), (1, 1))
+    out_orig = unet_apply(params, cfg, sample, t, (emb, None, None), pooled,
+                          tids, mode="content", state=state)
+    out_re = unet_apply(re_params, cfg, sample, t, (emb, None, None),
+                        pooled, tids, mode="content", state=re_state)
+    np.testing.assert_allclose(np.asarray(out_re), np.asarray(out_orig),
+                               rtol=1e-4, atol=1e-5)
+    # style branch contributes nothing even in 'style' mode
+    out_style = unet_apply(re_params, cfg, sample, t, (emb, None, None),
+                           pooled, tids, mode="style", state=re_state)
+    out_base = unet_apply(base, cfg, sample, t, (emb, None, None), pooled,
+                          tids, mode="base")
+    np.testing.assert_allclose(np.asarray(out_style), np.asarray(out_base),
+                               rtol=1e-4, atol=1e-5)

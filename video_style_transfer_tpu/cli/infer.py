@@ -21,6 +21,11 @@ def build_parser():
                         "from a DIFFERENT trained artifact set "
                         "(playground.ipynb cells 12-21 capability)")
     p.add_argument("--style_name", default=None)
+    p.add_argument("--single_lora", default=None,
+                   help="load ONE per-branch LoRA safetensors file "
+                        "(plain single-LoRA generation, infer_single.sh "
+                        "path); forces mode=content")
+    p.add_argument("--lora_scale", type=float, default=1.0)
     p.add_argument("--prompt", required=True)
     p.add_argument("--prompt_content", default=None)
     p.add_argument("--prompt_style", default=None)
@@ -53,7 +58,12 @@ def main(argv=None):
     steps = args.num_inference_steps if not args.smoke else 2
 
     params, state = bundle.unet, None
-    if args.mode != "base":
+    if args.single_lora:
+        params, state = interop.import_single_lora(
+            bundle.unet, interop.load_safetensors(args.single_lora),
+            scale=args.lora_scale)
+        args.mode = "content"
+    elif args.mode != "base":
         if args.unziplora_name_or_path:
             base = args.unziplora_name_or_path
             name = args.unziplora_name

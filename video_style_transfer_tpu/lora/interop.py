@@ -134,6 +134,46 @@ def import_state_dicts(params, content_sd: Dict, style_sd: Dict,
     return new_params, state
 
 
+def import_single_lora(params, sd: Dict, *, branch: str = "content",
+                       scale: float = 1.0, dtype=jnp.float32):
+    """Load ONE exported per-branch LoRA file (the diffusers-
+    `load_lora_weights`-compatible artifact, reference infer.py:173-199)
+    into a base UNet: the chosen branch carries the adapter (scaled), the
+    other branch is zeroed, mergers are ones. Use mode='content' (or
+    'style') at generation so mergers are skipped — exactly how the
+    reference does content-only / style-only recontextualization.
+    Returns (params, lora_state)."""
+    other = "style" if branch == "content" else "content"
+    staged: Dict[Tuple, Dict] = {}
+    for path, proj, k, name in iter_layer_modules(params):
+        up = sd.get(f"unet.{name}.lora.up.weight")
+        down = sd.get(f"unet.{name}.lora.down.weight")
+        if up is None or down is None:
+            continue
+        ent = staged.setdefault(path + (proj,), {"u": [], "d": []})
+        ent["u"].append(np.asarray(up, np.float32).T * scale)
+        ent["d"].append(np.asarray(down, np.float32).T)
+
+    state: Dict = {}
+    new_params = params
+    for ppath, ent in staged.items():
+        up = jnp.asarray(np.stack(ent["u"]), dtype)
+        down = jnp.asarray(np.stack(ent["d"]), dtype)
+        n_layers, _, out_f = up.shape
+        zero_pair = {"down": jnp.zeros_like(down),
+                     "up": jnp.zeros_like(up)}
+        lora = {
+            branch: {"down": down, "up": up},
+            other: zero_pair,
+            "merge_content": jnp.ones((n_layers, out_f), dtype),
+            "merge_style": jnp.ones((n_layers, out_f), dtype),
+        }
+        new_params = tree_set(new_params, ppath + ("lora",), lora)
+        state = surgery._set_nested(
+            state, ppath, surgery.stacked_unzip_state(n_layers, out_f))
+    return new_params, state
+
+
 # ---------------------------------------------------------------------------
 # File IO (safetensors for LoRA dicts, torch .pth for mergers — the
 # reference's exact on-disk formats)
