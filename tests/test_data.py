@@ -154,3 +154,14 @@ def test_tokenizer_pad_token_override(tok_dir):
     ids = mine("cat")[0]
     assert ids[0] == mine.bos_token_id
     assert 0 in ids[3:]  # padded with 0 (tokenizer_2 behavior)
+
+
+def test_extract_first_frames_consecutive(video_dir):
+    from video_style_transfer_tpu.data.video import extract_first_frames
+    path = os.path.join(video_dir, "a.mp4")
+    clip = extract_first_frames(path, 4, 16)
+    assert clip.shape == (4, 16, 16, 3)
+    means = clip.mean(axis=(1, 2, 3))
+    # strictly consecutive: uniform brightness increments
+    diffs = np.diff(means)
+    assert np.all(diffs > 0.02) and np.all(diffs < 0.12)

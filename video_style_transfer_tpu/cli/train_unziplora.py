@@ -35,6 +35,12 @@ def build_parser():
     p.add_argument("--instance_data_dir", default=None,
                    help="image directory alternative to --instance_video")
     p.add_argument("--num_instance_frames", type=int, default=1)
+    p.add_argument("--instance_video_mode", default="spaced",
+                   choices=["spaced", "consecutive"],
+                   help="'spaced': N evenly-spaced frames "
+                        "(train_unziplora.py:902-941); 'consecutive': "
+                        "first-N frames (video_train_unziplora.py "
+                        "variant)")
     p.add_argument("--instance_prompt", required=True)
     p.add_argument("--content_forward_prompt", required=True)
     p.add_argument("--style_forward_prompt", required=True)
@@ -149,8 +155,15 @@ def main(argv=None):
             jax.random.PRNGKey(1), (args.num_instance_frames, res, res, 3),
             minval=-1.0, maxval=1.0))
     elif args.instance_video:
-        images = extract_frames(args.instance_video,
-                                args.num_instance_frames, resolution=res)
+        if args.instance_video_mode == "consecutive":
+            from video_style_transfer_tpu.data.video import (
+                extract_first_frames)
+            images = extract_first_frames(args.instance_video,
+                                          args.num_instance_frames, res)
+        else:
+            images = extract_frames(args.instance_video,
+                                    args.num_instance_frames,
+                                    resolution=res)
     elif args.instance_data_dir:
         images = load_image_dir(args.instance_data_dir, res)
     else:

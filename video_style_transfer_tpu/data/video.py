@@ -147,6 +147,21 @@ def extract_frames(video_path: str, num_frames: int = 1,
     return _normalize(frames)
 
 
+def extract_first_frames(video_path: str, num_frames: int,
+                         resolution: int) -> np.ndarray:
+    """First N CONSECUTIVE frames (the stage-1 video-variant loading,
+    reference video_train_unziplora.py:884-946) -> (N, H, W, 3) float32
+    in [-1, 1], padded by repeating the last frame."""
+    cv2 = _require_cv2()
+    cap = cv2.VideoCapture(video_path)
+    frames = _read_frames(cap, 0, num_frames, resolution)
+    cap.release()
+    if not frames:
+        raise IOError(f"no frames decoded from {video_path}")
+    frames = _pad_repeat(frames, num_frames)
+    return _normalize(frames)
+
+
 def load_image_dir(root: str, resolution: int) -> np.ndarray:
     """All images under root -> (N, res, res, 3) float32 in [-1, 1]
     (stage-1 DreamBooth instance/class data when given as images)."""
