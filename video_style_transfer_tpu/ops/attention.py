@@ -42,11 +42,6 @@ def sdpa_xla(q, k, v, *, scale: Optional[float] = None):
     return jnp.swapaxes(out.astype(orig_dtype), 1, 2)
 
 
-@functools.partial(jax.jit, static_argnames=("impl",))
-def _sdpa_jit(q, k, v, impl):
-    return _sdpa_impl(q, k, v, impl=impl)
-
-
 def _sdpa_impl(q, k, v, *, impl: str):
     if impl == "pallas":
         from video_style_transfer_tpu.ops.flash_attention import flash_attention

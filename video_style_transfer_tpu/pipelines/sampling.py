@@ -8,7 +8,7 @@ axis — one compiled program per (steps, mode) with zero host round-trips.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
