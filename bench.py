@@ -68,6 +68,12 @@ def build(frames: int, res: int, steps: int, tiny: bool, scan: bool):
 
     state = fix(state_z)
 
+    # production serving path: single shared prompt -> LoRA folds fully
+    # into the base kernels (lora/surgery.py:fold_unziplora)
+    from video_style_transfer_tpu.lora.surgery import fold_unziplora
+    params, _ = fold_unziplora(params, state, mode="both",
+                               fold_cross_kv=True)
+
     xdim = cfg.cross_attention_dim
     pooled_dim = (cfg.projection_class_embeddings_input_dim
                   - 6 * cfg.addition_time_embed_dim)

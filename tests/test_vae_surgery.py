@@ -165,3 +165,41 @@ def test_layer_assignments_routing():
     mid_path = ("mid_block", "attentions", 0, "transformer_blocks",
                 "attn1", "to_q")
     assert asg[mid_path] == "both"
+
+
+def test_fold_unziplora_matches_dynamic():
+    """Folded kernels must reproduce the dynamic LoRA forward exactly
+    when all streams coincide (single shared prompt)."""
+    from video_style_transfer_tpu.lora.surgery import fold_unziplora
+    cfg, params = _tiny_unet()
+    params, state = insert_unziplora(params, jax.random.PRNGKey(1), rank=4)
+    sample, t, (emb, _, _), pooled, tids = _inputs(cfg)
+    ctx = (emb, None, None)  # content/style fall back to combined
+    for mode in ("both", "content", "style"):
+        want = unet_apply(params, cfg, sample, t, ctx, pooled, tids,
+                          mode=mode, state=state)
+        folded, n = fold_unziplora(params, state, mode=mode,
+                                   fold_cross_kv=True)
+        got = unet_apply(folded, cfg, sample, t, ctx, pooled, tids,
+                         mode=mode, state=state)
+        assert n == 8 * 4  # (4 groups x attn1+attn2) x 4 projections
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_fold_partial_keeps_cross_kv_dynamic():
+    """Without fold_cross_kv, distinct content/style prompts still work
+    and match the unfolded model."""
+    from video_style_transfer_tpu.lora.surgery import fold_unziplora
+    cfg, params = _tiny_unet()
+    params, state = insert_unziplora(params, jax.random.PRNGKey(1), rank=4)
+    sample, t, ctx, pooled, tids = _inputs(cfg)  # three DISTINCT prompts
+    want = unet_apply(params, cfg, sample, t, ctx, pooled, tids,
+                      mode="both", state=state)
+    folded, n = fold_unziplora(params, state, mode="both",
+                               fold_cross_kv=False)
+    got = unet_apply(folded, cfg, sample, t, ctx, pooled, tids,
+                     mode="both", state=state)
+    assert n == 8 * 4 - 4 * 2  # cross-attn k/v stay dynamic (4 attn2 stacks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)

@@ -74,13 +74,22 @@ def main(argv=None):
         params, state = insert_unziplora(params, jax.random.PRNGKey(0),
                                          rank=4)
 
+
     cond = common.make_conditioning(bundle, args.prompt, height=res,
                                     width=res)
     uncond = common.negative_conditioning(bundle, args.negative_prompt,
                                           height=res, width=res)
 
+    from video_style_transfer_tpu.lora.surgery import fold_unziplora
+
     outs = []
     for mode in args.modes:
+        # video inference feeds ONE shared prompt (the reference's
+        # AnimateDiff processor collapses the streams too), so the LoRA
+        # folds fully into the base kernels — rank-64 dual-branch matmuls
+        # disappear from the serving path
+        fparams, _ = fold_unziplora(params, state, mode=mode,
+                                    fold_cross_kv=True)
         run = jax.jit(lambda p, key, m=mode: generate_video(
             p, bundle.unet_cfg, bundle.vae, bundle.vae_cfg, uncond, cond,
             key, num_frames=frames, height=res, width=res, num_steps=steps,
@@ -88,7 +97,7 @@ def main(argv=None):
             dtype=jnp.float32 if args.smoke else jnp.bfloat16,
             decode_chunk=4 if not args.smoke else frames,
             vae_scale_factor=bundle.vae_scale_factor))
-        video = run(params, jax.random.PRNGKey(args.seed))
+        video = run(fparams, jax.random.PRNGKey(args.seed))
         path = save_video(list(jax.device_get(video)),
                           os.path.join(args.output_dir, f"{mode}.mp4"),
                           fps=args.fps)

@@ -324,6 +324,44 @@ def map_lora_state(state, fn: Callable):
     return new
 
 
+def fold_unziplora(unet_params, lora_state, *, mode: str = "both",
+                   fold_cross_kv: bool = False):
+    """Serving-time LoRA folding: wherever the content/style input
+    streams are guaranteed identical (self-attention entirely; cross-attn
+    q/out always — they take hidden states; cross-attn k/v ONLY when the
+    pipeline feeds one shared prompt, e.g. the reference's video
+    inference), fold the fully-gated delta into the base kernel and drop
+    the 'lora' entry. Remaining projections keep their dynamic LoRA.
+
+    Returns (params, n_folded). At rank 64 the dual fp32 LoRA branches
+    cost ~40-100% of the base projection matmul; folding removes that for
+    10 of 12 projections per block pair (12/12 with fold_cross_kv).
+    """
+    from video_style_transfer_tpu.lora.unzip import folded_delta
+
+    params = unet_params
+    n = 0
+    for path in iter_spatial_attention_paths(unet_params):
+        is_cross = path[-1] == "attn2"
+        attn = _get(params, path)
+        for proj in PROJS:
+            p = attn[proj]
+            if "lora" not in p:
+                continue
+            if is_cross and proj in ("to_k", "to_v") and not fold_cross_kv:
+                continue
+            st = _get(lora_state, path + (proj,)) if lora_state else None
+            delta = jax.vmap(
+                lambda lp, s: folded_delta(lp, s, mode=mode)
+            )(p["lora"], st)
+            new_p = {k: v for k, v in p.items() if k != "lora"}
+            new_p["kernel"] = (p["kernel"].astype(jnp.float32)
+                               + delta).astype(p["kernel"].dtype)
+            params = _set(params, path + (proj,), new_p)
+            n += 1
+    return params, n
+
+
 def set_branch_gates(state, off_paths: set, branch: str):
     """Inference block separation: zero entire branches at the given
     projection paths (reference UnZipLoRALinearLayerInfer masked_matrix

@@ -230,6 +230,25 @@ def select_columns(score_content, score_style, prev_mask_content,
     return mask_content, mask_style
 
 
+def folded_delta(params, state, *, mode: Mode = "both"):
+    """The composed, fully-gated (in, out) delta this layer adds when both
+    input streams coincide — for folding into the base kernel at load
+    time (serving optimization; TPU analog of the reference's _fuse_lora,
+    unziplora_unet/lora_unzip.py:18-48). Matches apply_unzip_lora's
+    per-mode gating exactly."""
+    def one(branch, with_merge):
+        gate = _column_gate(params, state, branch, with_merge)
+        return (params[branch]["down"] @ params[branch]["up"]) * gate[None]
+
+    if mode == "both":
+        return one("content", True) + one("style", True)
+    if mode == "content":
+        return one("content", False)
+    if mode == "style":
+        return one("style", False)
+    raise ValueError(mode)
+
+
 def export_weights(params, state, branch: str):
     """(down, up) pair in the reference save orientation
     ((r, in), (out, r)) with the column gate folded into up: the mask if the
