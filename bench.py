@@ -34,7 +34,8 @@ def _zeros_init(fn, *a, **kw):
     return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
 
-def build(frames: int, res: int, steps: int, tiny: bool, scan: bool):
+def build(frames: int, res: int, steps: int, tiny: bool, scan: bool,
+          workload: str = "video"):
     from video_style_transfer_tpu.config import UNetConfig
     from video_style_transfer_tpu.lora.surgery import insert_unziplora
     from video_style_transfer_tpu.models.unet import init_unet
@@ -47,8 +48,9 @@ def build(frames: int, res: int, steps: int, tiny: bool, scan: bool):
     from video_style_transfer_tpu.schedulers.euler import (
         euler_step, euler_timetable, scale_model_input)
 
-    cfg = (UNetConfig.tiny(use_motion_modules=True) if tiny
-           else UNetConfig.sdxl(use_motion_modules=True))
+    motion = workload == "video"
+    cfg = (UNetConfig.tiny(use_motion_modules=motion) if tiny
+           else UNetConfig.sdxl(use_motion_modules=motion))
     dt = jnp.bfloat16
     vsf = 8 if not tiny else 2
 
@@ -68,32 +70,43 @@ def build(frames: int, res: int, steps: int, tiny: bool, scan: bool):
 
     state = fix(state_z)
 
-    # production serving path: single shared prompt -> LoRA folds fully
-    # into the base kernels (lora/surgery.py:fold_unziplora)
+    # production serving path: video uses a single shared prompt -> LoRA
+    # folds fully; the image workload keeps distinct content/style
+    # prompts -> cross-attn k/v stay dynamic
     from video_style_transfer_tpu.lora.surgery import fold_unziplora
     params, _ = fold_unziplora(params, state, mode="both",
-                               fold_cross_kv=True)
+                               fold_cross_kv=(workload == "video"))
 
     xdim = cfg.cross_attention_dim
     pooled_dim = (cfg.projection_class_embeddings_input_dim
                   - 6 * cfg.addition_time_embed_dim)
 
+    rows = frames if workload == "video" else 1
+    nf = frames if workload == "video" else 1
+
     def cond(seed):
-        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(seed), 4)
+        if workload == "video":
+            ctx = (jax.random.normal(k1, (1, 77, xdim), dt), None, None)
+        else:
+            # triple-prompt conditioning (UnZipLoRA image workload)
+            ctx = (jax.random.normal(k1, (1, 77, xdim), dt),
+                   jax.random.normal(k3, (1, 77, xdim), dt),
+                   jax.random.normal(k4, (1, 77, xdim), dt))
         return Conditioning(
-            ctx=(jax.random.normal(k1, (1, 77, xdim), dt), None, None),
+            ctx=ctx,
             pooled=jax.random.normal(k2, (1, pooled_dim), dt),
             time_ids=default_time_ids(res, res, 1, dt))
 
     sched = make_schedule()
     table = euler_timetable(sched, steps)
-    lat_shape = (frames, res // vsf, res // vsf, cfg.in_channels)
+    lat_shape = (rows, res // vsf, res // vsf, cfg.in_channels)
 
     if scan:
         @jax.jit
         def run_all(params, key):
             lat = generate_video_latents(
-                params, cfg, cond(1), cond(2), key, num_frames=frames,
+                params, cfg, cond(1), cond(2), key, num_frames=nf,
                 height=res, width=res, num_steps=steps, mode="both",
                 state=state, impl="auto", dtype=dt, vae_scale_factor=vsf)
             return jnp.sum(lat.astype(jnp.float32))
@@ -105,7 +118,7 @@ def build(frames: int, res: int, steps: int, tiny: bool, scan: bool):
 
     eps_fn = make_cfg_denoiser(params, cfg, cond(1), cond(2),
                                cfg_scale=7.5, mode="both", state=state,
-                               num_frames=frames, impl="auto")
+                               num_frames=nf, impl="auto")
 
     @jax.jit
     def one_step(x, i):
@@ -134,10 +147,16 @@ def main():
                     help="benchmark the production lax.scan sampler "
                          "(one long execution)")
     ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--workload", default="video",
+                    choices=["video", "image"],
+                    help="video: 16f AnimateDiff-XL denoise (headline); "
+                         "image: triple-prompt UnZipLoRA SDXL image")
     args = ap.parse_args()
 
+    if args.workload == "image" and args.steps == 30:
+        args.steps = 50  # reference image default (infer.py:99)
     execute = build(args.frames, args.res, args.steps, args.tiny,
-                    args.scan)
+                    args.scan, args.workload)
     seed = int(time.time() * 1e3) % (2 ** 31)
 
     execute(seed)  # compile + warm (forced fetch)
@@ -148,6 +167,15 @@ def main():
         times.append(time.time() - t0)
     denoise_s = min(times)
 
+    if args.workload == "image":
+        print(json.dumps({
+            "metric": f"unziplora_sdxl_image_{args.res}px_{args.steps}step"
+                      "_latency",
+            "value": round(denoise_s, 4),
+            "unit": "sec/image/chip",
+            "vs_baseline": round(20.0 / max(denoise_s, 1e-9), 4),
+        }))
+        return
     fps = args.frames / denoise_s
     projected_8chip_s = denoise_s / 8
     vs_baseline = 20.0 / max(projected_8chip_s, 1e-9)
