@@ -387,7 +387,11 @@ def make_train_step(unet_cfg: UNetConfig, sched, optimizer, *,
 
 
 def init_state(params, lora_state, optimizer, *,
-               orth_on: bool = True) -> Stage1State:
+               orth_on: bool = False) -> Stage1State:
+    """orth_on starts False and only flips on at a column-selection step
+    (reference with_orthognal init, train_unziplora.py:1850) — without
+    the periodic column separation the similarity loss never engages,
+    exactly as in the reference. Pass orth_on=True to force it."""
     return Stage1State(params, optimizer.init(params), lora_state,
                        jnp.asarray(orth_on), jnp.asarray(True),
                        jnp.asarray(0))
