@@ -218,60 +218,80 @@ def _phase(step, cfg: ColumnSepConfig):
 def column_sep_update(lora_state, params, grads, step,
                       cfg: ColumnSepConfig, assignments: Dict):
     """One schedule transition; returns (new_lora_state, merger_grad_gates,
-    orth_on_next, merger_on_next).
+    phase_dict).
 
     merger_grad_gates: pytree of per-path (L, out) multiplicative gates to
     apply to THIS step's merger grads (the reference's set_gradient_mask /
     lora_gradient_zeroout, unziplora_linear_layer.py:147-170).
+
+    The cone + top-k selection math materializes an (L, d_in, d_out) cone
+    per projection — roughly a dense-weight-gradient's worth of compute —
+    so it lives under lax.cond and only executes at the sample_times
+    selection steps, not every step.
     """
     ph = _phase(step, cfg)
+    paths = list(assignments.keys())
+
+    def compute_selection(_):
+        out = {}
+        for path in paths:
+            label = assignments[path]
+            lp = tree_get(params, path)["lora"]
+            lg = tree_get(grads, path)["lora"]
+            st = tree_get(lora_state, path)
+
+            # cone column scores from this step's grads (select-time,
+            # accumulate=False semantics: overwrite, reference
+            # unziplora_linear_layer.py:144-146)
+            score_c = jax.vmap(
+                lambda p, g: cone_columns(p, g, "content"))(lp, lg)
+            score_s = jax.vmap(
+                lambda p, g: cone_columns(p, g, "style"))(lp, lg)
+
+            if label == "both":
+                sel = jax.vmap(functools.partial(
+                    select_columns, ratio=cfg.column_ratio,
+                    avoid=cfg.avoid))
+                mask_c, mask_s = sel(score_c, score_s,
+                                     st["mask_content"], st["mask_style"])
+            elif label == "style":
+                sel = jax.vmap(functools.partial(
+                    select_columns, ratio=cfg.column_ratio, avoid=False))
+                _, mask_s = sel(score_c, score_s, st["mask_content"],
+                                st["mask_style"])
+                mask_c = jnp.ones_like(st["mask_content"])
+            else:  # 'content'
+                sel = jax.vmap(functools.partial(
+                    select_columns, ratio=cfg.column_ratio, avoid=False))
+                mask_c, _ = sel(score_c, score_s, st["mask_content"],
+                                st["mask_style"])
+                mask_s = jnp.ones_like(st["mask_style"])
+            out[path] = (score_c, score_s, mask_c, mask_s)
+        return out
+
+    def keep_current(_):
+        out = {}
+        for path in paths:
+            st = tree_get(lora_state, path)
+            out[path] = (st["score_content"], st["score_style"],
+                         st["mask_content"], st["mask_style"])
+        return out
+
+    selected = jax.lax.cond(ph["select"], compute_selection, keep_current,
+                            None)
+
     new_state = lora_state
     gates = {}
-
-    for path, label in assignments.items():
-        lp = tree_get(params, path)["lora"]
-        lg = tree_get(grads, path)["lora"]
+    for path in paths:
         st = tree_get(lora_state, path)
-        n_layers, out_f = st["mask_content"].shape
-
-        # cone column scores from this step's grads (select-time,
-        # accumulate=False semantics: overwrite, reference
-        # unziplora_linear_layer.py:144-146)
-        score_c = jax.vmap(lambda p, g: cone_columns(p, g, "content"))(
-            lp, lg)
-        score_s = jax.vmap(lambda p, g: cone_columns(p, g, "style"))(lp, lg)
-
-        if label == "both":
-            sel = jax.vmap(functools.partial(select_columns,
-                                             ratio=cfg.column_ratio,
-                                             avoid=cfg.avoid))
-            mask_c_new, mask_s_new = sel(score_c, score_s,
-                                         st["mask_content"],
-                                         st["mask_style"])
-        elif label == "style":
-            sel = jax.vmap(functools.partial(select_columns,
-                                             ratio=cfg.column_ratio,
-                                             avoid=False))
-            _, mask_s_new = sel(score_c, score_s, st["mask_content"],
-                                st["mask_style"])
-            mask_c_new = jnp.ones_like(st["mask_content"])
-        else:  # 'content'
-            sel = jax.vmap(functools.partial(select_columns,
-                                             ratio=cfg.column_ratio,
-                                             avoid=False))
-            mask_c_new, _ = sel(score_c, score_s, st["mask_content"],
-                                st["mask_style"])
-            mask_s_new = jnp.ones_like(st["mask_style"])
-
-        at_sel = ph["select"]
+        n_layers = st["use_mask_content"].shape[0]
+        score_c, score_s, mask_c, mask_s = selected[path]
         st2 = dict(st)
-        st2["score_content"] = jnp.where(at_sel, score_c,
-                                         st["score_content"])
-        st2["score_style"] = jnp.where(at_sel, score_s, st["score_style"])
-        st2["mask_content"] = jnp.where(at_sel, mask_c_new,
-                                        st["mask_content"])
-        st2["mask_style"] = jnp.where(at_sel, mask_s_new, st["mask_style"])
-        flags_on = jnp.broadcast_to(at_sel, (n_layers,))
+        st2["score_content"] = score_c
+        st2["score_style"] = score_s
+        st2["mask_content"] = mask_c
+        st2["mask_style"] = mask_s
+        flags_on = jnp.broadcast_to(ph["select"], (n_layers,))
         flags_off = jnp.broadcast_to(ph["reset"], (n_layers,))
         st2["use_mask_content"] = (st["use_mask_content"] | flags_on) \
             & ~flags_off
