@@ -24,6 +24,13 @@ from video_style_transfer_tpu.pipelines.image import default_time_ids
 from video_style_transfer_tpu.pipelines.sampling import Conditioning
 
 
+# Universal negative prompt (reference's hard-coded quality navigate list,
+# unziplora_unet/utils.py:29-33)
+DEFAULT_NEGATIVE_PROMPT = (
+    "watermark, lowres, low quality, blur, out of focus, grainy, "
+    "jpeg artifacts, cropped, poorly lit, duplicate")
+
+
 @dataclass
 class ModelBundle:
     unet: Any

@@ -29,7 +29,8 @@ def build_parser():
     p.add_argument("--prompt", required=True)
     p.add_argument("--prompt_content", default=None)
     p.add_argument("--prompt_style", default=None)
-    p.add_argument("--negative_prompt", default="")
+    from video_style_transfer_tpu.cli.common import DEFAULT_NEGATIVE_PROMPT
+    p.add_argument("--negative_prompt", default=DEFAULT_NEGATIVE_PROMPT)
     p.add_argument("--mode", default="both",
                    choices=["both", "content", "style", "base"])
     p.add_argument("--output_dir", default="out/images")

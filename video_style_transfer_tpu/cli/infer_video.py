@@ -20,7 +20,8 @@ def build_parser():
     p.add_argument("--unziplora_name_or_path", default=None)
     p.add_argument("--unziplora_name", default="unziplora")
     p.add_argument("--prompt", required=True)
-    p.add_argument("--negative_prompt", default="")
+    from video_style_transfer_tpu.cli.common import DEFAULT_NEGATIVE_PROMPT
+    p.add_argument("--negative_prompt", default=DEFAULT_NEGATIVE_PROMPT)
     p.add_argument("--modes", nargs="+",
                    default=["both", "content", "style"])
     p.add_argument("--output_dir", default="out/videos")
