@@ -89,6 +89,14 @@ def main(argv=None):
             raise SystemExit("--unziplora_name_or_path required for "
                              "LoRA modes")
 
+    if state is not None:
+        from video_style_transfer_tpu.lora.surgery import fold_unziplora
+        # distinct content/style prompts keep cross-attn k/v dynamic;
+        # the other 10/12 projections fold into the base kernels
+        full = args.prompt_content is None and args.prompt_style is None
+        params, _ = fold_unziplora(params, state, mode=args.mode,
+                                   fold_cross_kv=full)
+
     cond = common.make_conditioning(bundle, args.prompt,
                                     args.prompt_content, args.prompt_style,
                                     height=res, width=res)
