@@ -10,7 +10,6 @@ masks/gates.
 """
 from __future__ import annotations
 
-import copy
 from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import jax
@@ -315,12 +314,14 @@ def iter_lora_state_paths(state) -> Iterator[Path]:
 
 
 def map_lora_state(state, fn: Callable):
-    """fn(path, entry) -> new entry, applied to every projection entry."""
-    new = copy.deepcopy(state)
+    """fn(path, entry) -> new entry, applied to every projection entry
+    (immutable spine copies only — leaves are shared, not copied)."""
+    new = state
     for path in iter_lora_state_paths(state):
-        entry = _get(new, path)
+        entry = _get(state, path)
         updated = fn(path, entry)
-        new = _set(new, path, updated)
+        if updated is not entry:
+            new = _set(new, path, updated)
     return new
 
 
