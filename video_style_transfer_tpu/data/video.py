@@ -56,8 +56,10 @@ def _read_frames(cap, start: int, count: int, resolution: int):
         if not ok:
             break
         frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        # INTER_LINEAR: the reference's default interpolation
+        # (video_dataset.py:114) and what the native bilinear path matches
         frame = cv2.resize(frame, (resolution, resolution),
-                           interpolation=cv2.INTER_AREA)
+                           interpolation=cv2.INTER_LINEAR)
         frames.append(frame)
     return frames
 
@@ -101,6 +103,23 @@ class VideoClipDataset:
         cv2 = _require_cv2()
         path, start = self.index[i]
         cap = cv2.VideoCapture(path)
+        # fast path: raw BGR reads + the native fused
+        # resize->RGB->normalize pipeline (native/preprocess.cpp)
+        from video_style_transfer_tpu.data import native
+        if native.native_available():
+            cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+            raw = []
+            for _ in range(self.num_frames):
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                raw.append(frame)
+            cap.release()
+            if not raw:
+                raise IOError(f"failed to read frames from {path}@{start}")
+            raw = _pad_repeat(raw, self.num_frames)
+            return native.preprocess_frames_bgr(
+                np.stack(raw), self.resolution, self.resolution)
         frames = _read_frames(cap, start, self.num_frames, self.resolution)
         cap.release()
         if not frames:
