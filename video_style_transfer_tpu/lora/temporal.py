@@ -46,27 +46,29 @@ def merge_into_kernel(kernel, p):
 
 
 def orthogonality_loss(tlora, spatial_lora, compute_dtype=jnp.float32):
-    """||D_t^T D_c||_F^2 + ||D_t^T D_s||_F^2 for one paired layer
-    (reference compute_orth_loss, temporal_lora.py:126-166; spatial deltas
-    are stop-gradiented, matching the frozen Stage-1 LoRAs).
+    """||W_t^T W_c||_F^2 + ||W_t^T W_s||_F^2 for one paired layer, where
+    W = B @ A are the reference's (out, in)-oriented deltas (reference
+    compute_orth_loss, temporal_lora.py:126-166; spatial deltas are
+    stop-gradiented, matching the frozen Stage-1 LoRAs).
 
-    With D_t = a_t b_t (in, out_t) and D_c = a_c b_c (in, out_c):
-        ||D_t^T D_c||_F^2 = tr(P^T G_t P G_c)
-    where P = a_t^T a_c (rt, rc), G_t = b_t b_t^T (rt, rt),
-    G_c = b_c b_c^T (rc, rc) — everything stays in rank space; no
-    (out, out) or (in, out) matrix is ever materialized (the reference
-    forms the full (out, in) deltas per layer)."""
+    The reference contracts over the OUT axis: W_t^T W_c = A_t^T B_t^T
+    B_c A_c. In our (in, out) orientation with D = a b (a = A^T, b = B^T):
+        ||W_t^T W_c||_F^2 = ||D_t D_c^T||_F^2 = tr(Q^T H_t Q H_c)
+    where Q = b_t b_c^T (rt, rc, contraction over out),
+    H_t = a_t^T a_t (rt, rt), H_c = a_c^T a_c (rc, rc) — everything stays
+    in rank space; no (out, in) or (in, in) matrix is ever materialized
+    (the reference forms the full deltas per layer)."""
     a_t = tlora["a"].astype(compute_dtype)                       # (in, rt)
     b_t = tlora["b"].astype(compute_dtype) * tlora["scale"]      # (rt, out)
-    g_t = b_t @ b_t.T                                            # (rt, rt)
+    h_t = a_t.T @ a_t                                            # (rt, rt)
 
     def one(branch):
         a = jax.lax.stop_gradient(
             spatial_lora[branch]["down"]).astype(compute_dtype)  # (in, rc)
         b = jax.lax.stop_gradient(
             spatial_lora[branch]["up"]).astype(compute_dtype)    # (rc, out)
-        p = a_t.T @ a                                            # (rt, rc)
-        g_c = b @ b.T                                            # (rc, rc)
-        return jnp.sum((p.T @ g_t @ p) * g_c)
+        q = b_t @ b.T                                            # (rt, rc)
+        h_c = a.T @ a                                            # (rc, rc)
+        return jnp.sum((q.T @ h_t @ q) * h_c)
 
     return one("content") + one("style")
