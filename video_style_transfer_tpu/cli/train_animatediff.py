@@ -40,6 +40,10 @@ def build_parser():
     p.add_argument("--prediction_type", default="epsilon",
                    choices=["epsilon", "v_prediction"])
     p.add_argument("--unfreeze_mergers", action="store_true")
+    p.add_argument("--train_full_motion", action="store_true",
+                   help="fine-tune every motion-module weight (the older "
+                        "stage-2 variant, unziplora_unet/"
+                        "train_animatediff.py) instead of LoRA-only")
     p.add_argument("--checkpointing_steps", type=int, default=500)
     p.add_argument("--resume_from_checkpoint", default=None)
     p.add_argument("--log_every", type=int, default=10)
@@ -109,7 +113,8 @@ def main(argv=None):
     # ---- trainer -------------------------------------------------------
     max_steps = args.smoke_steps or args.max_train_steps
     mask = stage2.trainable_mask(params,
-                                 train_mergers=args.unfreeze_mergers)
+                                 train_mergers=args.unfreeze_mergers,
+                                 train_full_motion=args.train_full_motion)
     opt = stage2.make_optimizer(mask, lr=args.learning_rate,
                                 total_steps=max_steps,
                                 warmup=args.lr_warmup_steps,

@@ -74,6 +74,14 @@ def build_parser():
                    help="enable the reference's hard-coded block-"
                         "separation mask dictionaries "
                         "(train_unziplora.py:1582-1599)")
+    p.add_argument("--class_data_dir", default=None,
+                   help="content prior-preservation image dir")
+    p.add_argument("--class_prompt", default=None)
+    p.add_argument("--prior_loss_weight", type=float, default=0.0)
+    p.add_argument("--class_data_dir_2", default=None,
+                   help="style prior-preservation image dir")
+    p.add_argument("--class_prompt_2", default=None)
+    p.add_argument("--prior_loss_weight_2", type=float, default=0.0)
     p.add_argument("--validation_prompt", default=None)
     p.add_argument("--validation_prompt_content", default=None)
     p.add_argument("--validation_prompt_style", default=None)
@@ -170,6 +178,25 @@ def main(argv=None):
         raise SystemExit("need --instance_video or --instance_data_dir")
 
     latents = common.encode_latents(bundle, images)
+
+    # dual prior preservation (reference train_unziplora.py:2085-2132):
+    # class images encoded once; the trainer adds mode-switched forwards
+    priors = {}
+    for branch, ddir, pprompt in (
+            ("content", args.class_data_dir, args.class_prompt),
+            ("style", args.class_data_dir_2, args.class_prompt_2)):
+        if not ddir:
+            continue
+        cls_imgs = load_image_dir(ddir, res)
+        cls_emb, cls_pooled = common.encode_prompt(bundle,
+                                                   pprompt or "")
+        priors[branch] = {
+            "latents": common.encode_latents(bundle, cls_imgs),
+            "ctx": cls_emb, "pooled": cls_pooled,
+            "time_ids": jnp.asarray([[res, res, 0, 0, res, res]],
+                                    jnp.float32),
+        }
+
     emb, pooled = common.encode_prompt(bundle, args.instance_prompt)
     emb_c, _ = common.encode_prompt(bundle, args.content_forward_prompt)
     emb_s, _ = common.encode_prompt(bundle, args.style_forward_prompt)
@@ -202,7 +229,9 @@ def main(argv=None):
     sched = make_schedule()
     step_fn = jax.jit(stage1.make_train_step(
         bundle.unet_cfg, sched, opt, sep_cfg=sep, assignments=assignments,
-        similarity_lambda=args.similarity_lambda, remat=not args.smoke))
+        similarity_lambda=args.similarity_lambda,
+        prior_weight=args.prior_loss_weight,
+        prior_weight_2=args.prior_loss_weight_2, remat=not args.smoke))
 
     state = stage1.init_state(params, lora_state, opt)
 
@@ -237,6 +266,15 @@ def main(argv=None):
                 jnp.asarray([[res, res, 0, 0, res, res]], jnp.float32),
                 (b, 1)),
         }
+        for branch, prior in priors.items():
+            pn = prior["latents"].shape[0]
+            pidx = jax.random.randint(bkey, (b,), 0, pn)
+            batch[f"prior_{branch}"] = {
+                "latents": prior["latents"][pidx],
+                "ctx": jnp.repeat(prior["ctx"], b, axis=0),
+                "pooled": jnp.repeat(prior["pooled"], b, axis=0),
+                "time_ids": jnp.tile(prior["time_ids"], (b, 1)),
+            }
         state, metrics = step_fn(state, batch, key)
         if step % 10 == 0 or step == max_steps - 1:
             scalars = {k: float(v) for k, v in metrics.items()}

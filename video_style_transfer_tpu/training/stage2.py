@@ -36,10 +36,13 @@ class Stage2State(NamedTuple):
 
 
 def trainable_mask(params, *, train_mergers: bool = False,
-                   train_motion_norms: bool = True):
+                   train_motion_norms: bool = True,
+                   train_full_motion: bool = False):
     """Boolean pytree: True = trainable. Temporal LoRA a/b always; motion
     module norms optionally ("Option B/C", reference
-    train_animatediff.py:133-147); mergers when unfrozen."""
+    train_animatediff.py:133-147); mergers when unfrozen;
+    train_full_motion fine-tunes every motion-module weight (the older
+    stage-2 variant, unziplora_unet/train_animatediff.py)."""
     def walk(tree, path):
         if isinstance(tree, dict):
             return {k: walk(v, path + (k,)) for k, v in tree.items()}
@@ -48,6 +51,8 @@ def trainable_mask(params, *, train_mergers: bool = False,
         in_motion = "motion_modules" in path
         if "tlora" in path:
             return path[-1] in ("a", "b")
+        if train_full_motion and in_motion and "lora" not in path:
+            return True
         if train_motion_norms and in_motion and any(
                 isinstance(k, str) and k.startswith("norm") for k in path):
             return True
