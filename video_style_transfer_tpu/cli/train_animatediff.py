@@ -44,6 +44,10 @@ def build_parser():
                    help="fine-tune every motion-module weight (the older "
                         "stage-2 variant, unziplora_unet/"
                         "train_animatediff.py) instead of LoRA-only")
+    p.add_argument("--mixed_precision", default="bf16",
+                   choices=["no", "bf16"],
+                   help="stage-2 reference default is bf16 "
+                        "(train_animatediff.sh:76)")
     p.add_argument("--checkpointing_steps", type=int, default=500)
     p.add_argument("--resume_from_checkpoint", default=None)
     p.add_argument("--log_every", type=int, default=10)
@@ -67,8 +71,9 @@ def main(argv=None):
         MetricsLogger, StepTimer)
 
     os.makedirs(args.output_dir, exist_ok=True)
-    bundle = common.load_models(args.pretrained_model_name_or_path,
-                                smoke=args.smoke, motion=True)
+    bundle = common.load_models(
+        args.pretrained_model_name_or_path, smoke=args.smoke, motion=True,
+        dtype=jnp.float32 if args.mixed_precision == "no" else jnp.bfloat16)
     res = args.resolution if not args.smoke else 16
     f = args.num_frames if not args.smoke else 4
 

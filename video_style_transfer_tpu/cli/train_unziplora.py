@@ -91,6 +91,11 @@ def build_parser():
                         "train_unziplora.py:2263-2340)")
     p.add_argument("--validation_steps", type=int, default=8,
                    help="denoise steps for validation images")
+    p.add_argument("--mixed_precision", default="bf16",
+                   choices=["no", "bf16"],
+                   help="'no' = fp32 base weights (the reference recipe, "
+                        "train.sh:65); 'bf16' (default) = bf16 base + "
+                        "fp32 LoRA branches — the TPU-native mix")
     p.add_argument("--report_to", default="jsonl",
                    choices=["jsonl", "tensorboard", "wandb"])
     p.add_argument("--smoke", action="store_true",
@@ -153,8 +158,9 @@ def main(argv=None):
         MetricsLogger, StepTimer)
 
     os.makedirs(args.output_dir, exist_ok=True)
-    bundle = common.load_models(args.pretrained_model_name_or_path,
-                                smoke=args.smoke, motion=False)
+    bundle = common.load_models(
+        args.pretrained_model_name_or_path, smoke=args.smoke, motion=False,
+        dtype=jnp.float32 if args.mixed_precision == "no" else jnp.bfloat16)
     res = args.resolution if not args.smoke else 16
 
     # ---- data: N frames from one video (or an image dir) --------------
