@@ -90,17 +90,20 @@ def load_models(pretrained_model: Optional[str], *, smoke: bool = False,
 
 
 def encode_prompt(bundle: ModelBundle, prompt: str,
-                  key: Optional[jax.Array] = None) -> Tuple:
-    """(embeds (1, S, D), pooled (1, P)). Smoke mode (no tokenizer):
-    deterministic pseudo-embeddings derived from the prompt hash."""
+                  prompt_2: Optional[str] = None) -> Tuple:
+    """(embeds (1, S, D), pooled (1, P)). prompt_2 optionally feeds the
+    second (OpenCLIP) encoder a different text, like the reference
+    pipeline's prompt_2 (pipeline_stable_diffusion_xl.py:145-196). Smoke
+    mode (no tokenizer): deterministic pseudo-embeddings from the prompt
+    hash."""
     if bundle.tokenizer is None:
-        seed = abs(hash(prompt)) % (2 ** 31)
+        seed = abs(hash((prompt, prompt_2))) % (2 ** 31)
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
         d = bundle.unet_cfg.cross_attention_dim
         return (jax.random.normal(k1, (1, 7, d)),
                 jax.random.normal(k2, (1, bundle.pooled_dim)))
     ids_l = jnp.asarray(bundle.tokenizer(prompt))
-    ids_g = jnp.asarray(bundle.tokenizer_2(prompt))
+    ids_g = jnp.asarray(bundle.tokenizer_2(prompt_2 or prompt))
     return encode_sdxl_prompt(bundle.clip_l, bundle.clip_l_cfg,
                               bundle.clip_g, bundle.clip_g_cfg,
                               ids_l, ids_g)
