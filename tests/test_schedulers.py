@@ -116,3 +116,26 @@ def test_euler_scan_compatible():
     x_final, _ = jax.lax.scan(body, x_init, jnp.arange(10))
     np.testing.assert_allclose(np.asarray(x_final), np.asarray(x0),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_rescale_noise_cfg_formula():
+    """Guidance rescale (reference pipeline_stable_diffusion_xl.py:40-54):
+    std-match the CFG noise to the text-conditioned noise, then lerp."""
+    from video_style_transfer_tpu.pipelines.sampling import rescale_noise_cfg
+    rng = np.random.RandomState(0)
+    cfgn = jnp.asarray(rng.randn(2, 4, 4, 3).astype(np.float32)) * 2.0
+    text = jnp.asarray(rng.randn(2, 4, 4, 3).astype(np.float32))
+    g = 0.7
+    got = np.asarray(rescale_noise_cfg(cfgn, text, g))
+    cn, tn = np.asarray(cfgn), np.asarray(text)
+    std_t = tn.std(axis=(1, 2, 3), keepdims=True)
+    std_c = cn.std(axis=(1, 2, 3), keepdims=True)
+    want = g * (cn * std_t / std_c) + (1 - g) * cn
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_default_time_ids():
+    from video_style_transfer_tpu.pipelines.image import default_time_ids
+    ids = np.asarray(default_time_ids(1024, 768, 3))
+    assert ids.shape == (3, 6)
+    np.testing.assert_array_equal(ids[0], [1024, 768, 0, 0, 1024, 768])
