@@ -102,8 +102,10 @@ def main(argv=None):
                                     height=res, width=res)
     uncond = common.negative_conditioning(bundle, args.negative_prompt,
                                           height=res, width=res)
-    run = jax.jit(lambda p, key: generate_images(
-        p, bundle.unet_cfg, bundle.vae, bundle.vae_cfg, uncond, cond, key,
+    # conditioning passes as a jit ARGUMENT (not a baked constant) so new
+    # prompts reuse the compiled program
+    run = jax.jit(lambda p, u, c, key: generate_images(
+        p, bundle.unet_cfg, bundle.vae, bundle.vae_cfg, u, c, key,
         height=res, width=res, num_steps=steps,
         cfg_scale=args.guidance_scale, sampler=args.sampler,
         mode=args.mode, state=state,
@@ -112,7 +114,7 @@ def main(argv=None):
 
     outs = []
     for seed in args.seeds:
-        imgs = run(params, jax.random.PRNGKey(seed))
+        imgs = run(params, uncond, cond, jax.random.PRNGKey(seed))
         path = os.path.join(args.output_dir,
                             f"{args.mode}_seed{seed}.png")
         save_image(jax.device_get(imgs[0]), path)

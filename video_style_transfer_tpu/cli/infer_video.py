@@ -91,14 +91,14 @@ def main(argv=None):
         # disappear from the serving path
         fparams, _ = fold_unziplora(params, state, mode=mode,
                                     fold_cross_kv=True)
-        run = jax.jit(lambda p, key, m=mode: generate_video(
-            p, bundle.unet_cfg, bundle.vae, bundle.vae_cfg, uncond, cond,
+        run = jax.jit(lambda p, u, c, key, m=mode: generate_video(
+            p, bundle.unet_cfg, bundle.vae, bundle.vae_cfg, u, c,
             key, num_frames=frames, height=res, width=res, num_steps=steps,
             cfg_scale=args.guidance_scale, mode=m, state=state,
             dtype=jnp.float32 if args.smoke else jnp.bfloat16,
             decode_chunk=4 if not args.smoke else frames,
             vae_scale_factor=bundle.vae_scale_factor))
-        video = run(fparams, jax.random.PRNGKey(args.seed))
+        video = run(fparams, uncond, cond, jax.random.PRNGKey(args.seed))
         path = save_video(list(jax.device_get(video)),
                           os.path.join(args.output_dir, f"{mode}.mp4"),
                           fps=args.fps)
