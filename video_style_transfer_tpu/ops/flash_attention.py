@@ -134,6 +134,10 @@ def _flash_fwd_bhsd(q, k, v, *, scale: float, block_q: int, block_k: int,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * sq * sk * d,
+            bytes_accessed=2 * bh * (sq + 2 * sk + sq) * d,
+            transcendentals=bh * sq * sk),
         interpret=interpret,
     )(q, k, v)
 
@@ -272,6 +276,10 @@ def _flash_bwd_bhsd(q, k, v, do, o, lse, *, scale, block_q, block_k,
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bh * sq * sk * d,
+            bytes_accessed=2 * bh * (3 * sq + 2 * sk) * d,
+            transcendentals=bh * sq * sk),
         interpret=interpret,
     )(q, k, v, do, lse, delta)
 
@@ -291,6 +299,10 @@ def _flash_bwd_bhsd(q, k, v, do, o, lse, *, scale, block_q, block_k,
                         pltpu.VMEM((block_k, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * bh * sq * sk * d,
+            bytes_accessed=2 * bh * (2 * sq + 4 * sk) * d,
+            transcendentals=bh * sq * sk),
         interpret=interpret,
     )(q, k, v, do, lse, delta)
     return dq, dk, dv
