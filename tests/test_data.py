@@ -165,3 +165,12 @@ def test_extract_first_frames_consecutive(video_dir):
     # strictly consecutive: uniform brightness increments
     diffs = np.diff(means)
     assert np.all(diffs > 0.02) and np.all(diffs < 0.12)
+
+
+def test_tokenizer_decode_roundtrip(tok_dir):
+    tok = CLIPTokenizer.from_dir(tok_dir)
+    ids = tok("a photo of cat")[0]
+    text = tok.decode([i for i in ids
+                       if i not in (tok.bos_token_id, tok.pad_token_id,
+                                    tok.eos_token_id)])
+    assert text.strip() == "a photo of cat"

@@ -59,3 +59,23 @@ def test_cone_cli(tmp_path):
                 "--grads", str(tmp_path / "g.npz"),
                 "--output", str(tmp_path / "heat.png")])
     assert os.path.getsize(out) > 0
+
+
+def test_lora_norm_l1():
+    cfg = UNetConfig.tiny()
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    params, _ = insert_unziplora(params, jax.random.PRNGKey(1), rank=4)
+    l1 = obs.lora_norm_log(params, "content", norm="L1")
+    l2 = obs.lora_norm_log(params, "content", norm="L2")
+    assert set(l1) == set(l2)
+    # L1 >= L2 elementwise for any matrix
+    assert all(l1[k] >= l2[k] for k in l1)
+
+
+def test_profiler_hooks(tmp_path):
+    obs.start_profiler_trace(str(tmp_path))
+    import jax.numpy as jnp
+    _ = float(jnp.sum(jnp.ones((8, 8)) @ jnp.ones((8, 8))))
+    obs.stop_profiler_trace()
+    files = list(os.walk(tmp_path))
+    assert any(fn for _, _, fns in files for fn in fns), "no trace written"

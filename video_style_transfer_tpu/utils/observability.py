@@ -82,9 +82,11 @@ def _block_group(path) -> str:
     return ".".join(parts)
 
 
-def lora_norm_log(params, branch: str, *, with_merge: bool = False) -> Dict:
-    """Mean Frobenius norm of the composed LoRA delta per block group
-    (reference lora_norm_log, utils.py:578-592)."""
+def lora_norm_log(params, branch: str, *, with_merge: bool = False,
+                  norm: str = "L2") -> Dict:
+    """Mean norm of the composed LoRA delta per block group (reference
+    lora_norm_log, utils.py:578-592; norm kinds 'L2' (Frobenius) or 'L1'
+    mirroring get_unziplora_norm, unziplora_linear_layer.py:95-98)."""
     groups: Dict[str, list] = {}
     for path in iter_spatial_attention_paths(params):
         attn = tree_get(params, path)
@@ -94,8 +96,11 @@ def lora_norm_log(params, branch: str, *, with_merge: bool = False) -> Dict:
             lp = attn[proj]["lora"]
             delta = jax.vmap(
                 lambda p: composed_delta(p, branch, with_merge))(lp)
-            norms = jnp.sqrt(jnp.sum(delta.astype(jnp.float32) ** 2,
-                                     axis=(1, 2)))
+            df = delta.astype(jnp.float32)
+            if norm == "L1":
+                norms = jnp.sum(jnp.abs(df), axis=(1, 2))
+            else:
+                norms = jnp.sqrt(jnp.sum(df ** 2, axis=(1, 2)))
             groups.setdefault(f"{branch}_{_block_group(path)}_norm",
                               []).append(norms)
     return {k: float(jnp.mean(jnp.concatenate(v)))
