@@ -79,3 +79,21 @@ def test_profiler_hooks(tmp_path):
     obs.stop_profiler_trace()
     files = list(os.walk(tmp_path))
     assert any(fn for _, _, fns in files for fn in fns), "no trace written"
+
+
+def test_compare_outputs_tool(tmp_path):
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    img = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / "a.png")
+    noisy = np.clip(img.astype(int) + rng.randint(-3, 4, img.shape),
+                    0, 255).astype(np.uint8)
+    Image.fromarray(noisy).save(tmp_path / "b.png")
+    from video_style_transfer_tpu.cli.compare_outputs import main
+    rep = main(["--ours", str(tmp_path / "a.png"),
+                "--reference", str(tmp_path / "b.png")])
+    assert rep["psnr_mean"] > 35
+    assert 0.8 < rep["ssim_mean"] <= 1.0
+    rep_same = main(["--ours", str(tmp_path / "a.png"),
+                     "--reference", str(tmp_path / "a.png")])
+    assert rep_same["ssim_mean"] == 1.0
