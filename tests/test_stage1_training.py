@@ -135,3 +135,33 @@ def test_merger_frozen_during_sampling():
     s2, _ = jstep(s1, batch, jax.random.PRNGKey(1))
     m_after = np.asarray(tree_get(s2.params, path)["lora"]["merge_content"])
     np.testing.assert_array_equal(m_before, m_after)
+
+
+def test_full_schedule_through_tail():
+    """Run past sample_times*sampled_steps into the tail phase: the state
+    machine must stay finite, masks must persist, and the tail keeps
+    training with merger gating (reference :2141-2143)."""
+    cfg, state, step, assignments, sep = _setup(sep_enabled=True)
+    batch = _batch(cfg)
+    jstep = jax.jit(step)
+    s = state
+    # sampled_steps=4, sample_times=3 -> tail from step 12
+    for i in range(14):
+        s, m = jstep(s, batch, jax.random.PRNGKey(i))
+        assert np.isfinite(float(m["loss"])), i
+    path = next(iter(assignments))
+    st = tree_get(s.lora_state, path)
+    # masks accumulated over 3 selections: nonempty. NOTE: cross-round
+    # overlap is allowed — the reference's avoid logic only keeps STYLE
+    # away from content columns at each selection; content may later
+    # claim style-owned columns (mask_updated_elements,
+    # unziplora_linear_layer.py:190-207)
+    mc = np.asarray(st["mask_content"])
+    ms = np.asarray(st["mask_style"])
+    assert mc.any() and ms.any()
+    # mask flags stay on in the tail
+    assert bool(np.all(np.asarray(st["use_mask_content"])))
+    # mergers clamped
+    lp = tree_get(s.params, path)["lora"]
+    m = np.asarray(lp["merge_content"])
+    assert m.min() >= 0.0 and m.max() <= 1.0
