@@ -39,3 +39,25 @@ def test_fused_preprocess():
     want = ref_resized[..., ::-1].astype(np.float32) / 127.5 - 1.0
     np.testing.assert_allclose(got, want, atol=1e-5)
     assert got.min() >= -1.0 and got.max() <= 1.0
+
+
+def test_numpy_fallbacks_match_native(monkeypatch):
+    """With the native lib unavailable the numpy fallbacks must produce
+    (near-)identical results."""
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (23, 31, 3), np.uint8)
+    frames = rng.randint(0, 256, (2, 23, 31, 3), np.uint8)
+    want_resize = native.resize_bilinear(img, 12, 12)
+    want_pre = native.preprocess_frames_bgr(frames, 12, 12)
+    want_u8 = native.u8_to_unit_range(frames)
+
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_lib_tried", True)
+    assert not native.native_available()
+    got_resize = native.resize_bilinear(img, 12, 12)
+    got_pre = native.preprocess_frames_bgr(frames, 12, 12)
+    got_u8 = native.u8_to_unit_range(frames)
+
+    assert np.abs(got_resize.astype(int) - want_resize.astype(int)).max() <= 1
+    np.testing.assert_allclose(got_pre, want_pre, atol=0.01)
+    np.testing.assert_allclose(got_u8, want_u8, atol=1e-6)
