@@ -101,6 +101,10 @@ def build_parser():
     p.add_argument("--smoke", action="store_true",
                    help="tiny random models, synthetic data")
     p.add_argument("--smoke_steps", type=int, default=None)
+    p.add_argument("--final_inference_check", action="store_true",
+                   help="after export, reload the artifacts into a fresh "
+                        "UNet and generate once (the reference's final "
+                        "integration smoke, train_unziplora.py:2428-2509)")
     return p
 
 
@@ -299,6 +303,35 @@ def main(argv=None):
     paths = ckpt.export_stage1_artifacts(args.output_dir, args.name,
                                          state.params, state.lora_state)
     print("saved artifacts:", paths)
+
+    if args.final_inference_check:
+        # reload the exported artifacts into a FRESH base UNet and
+        # generate once — the reference's final save/load integration
+        # smoke pass (train_unziplora.py:2428-2509)
+        from video_style_transfer_tpu.lora import interop
+        from video_style_transfer_tpu.pipelines.image import generate_images
+        from video_style_transfer_tpu.data.video_io import save_image
+        re_params, re_state = interop.import_state_dicts(
+            bundle.unet,
+            interop.load_safetensors(paths["content"]),
+            interop.load_safetensors(paths["style"]),
+            interop.load_merger_pth(paths["merger_content"]),
+            interop.load_merger_pth(paths["merger_style"]))
+        cond = common.make_conditioning(
+            bundle, args.validation_prompt or args.instance_prompt,
+            height=res, width=res)
+        uncond = common.negative_conditioning(bundle, "", height=res,
+                                              width=res)
+        imgs = generate_images(
+            re_params, bundle.unet_cfg, bundle.vae, bundle.vae_cfg, uncond,
+            cond, jax.random.PRNGKey(0), height=res, width=res,
+            num_steps=args.validation_steps, mode="both", state=re_state,
+            dtype=jnp.float32 if args.smoke else jnp.bfloat16,
+            vae_scale_factor=bundle.vae_scale_factor)
+        out = os.path.join(args.output_dir, "final_check_both.png")
+        save_image(jax.device_get(imgs[0]), out)
+        print("final reload+inference check OK:", out)
+
     logger.close()
     return state
 
