@@ -111,3 +111,27 @@ def test_video_latents_sharded_over_frames():
         vae_scale_factor=2)
     np.testing.assert_allclose(np.asarray(lat), np.asarray(lat_ref),
                                rtol=2e-4, atol=1e-4)
+
+
+def test_full_video_pipeline_sharded_including_decode():
+    """End-to-end serving path under the mesh: frame-sharded denoise AND
+    frame-sharded fp32 VAE decode in one jitted program."""
+    ucfg, up, vcfg, vp = _models(motion=True)
+    mesh = create_mesh(frame=8)
+    uncond, cond = _cond(1, ucfg, 0), _cond(1, ucfg, 1)
+    up_r = jax.device_put(up, replicate(mesh))
+    vp_r = jax.device_put(vp, replicate(mesh))
+
+    @jax.jit
+    def run(unet_p, vae_p, key):
+        lat = generate_video_latents(
+            unet_p, ucfg, uncond, cond, key, num_frames=8, height=RES,
+            width=RES, num_steps=2, dtype=jnp.float32, vae_scale_factor=2)
+        lat = jax.lax.with_sharding_constraint(
+            lat, NamedSharding(mesh, P("frame")))
+        return decode_video(vae_p, vcfg, lat, chunk=8)
+
+    with mesh:
+        frames = run(up_r, vp_r, jax.random.PRNGKey(5))
+    assert frames.shape == (8, RES, RES, 3)
+    assert frames.dtype == jnp.uint8
