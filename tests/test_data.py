@@ -174,3 +174,19 @@ def test_tokenizer_decode_roundtrip(tok_dir):
                        if i not in (tok.bos_token_id, tok.pad_token_id,
                                     tok.eos_token_id)])
     assert text.strip() == "a photo of cat"
+
+
+def test_native_bpe_matches_python(tok_dir):
+    """The C++ BPE merge loop must match the Python implementation (and
+    therefore transformers) token-for-token."""
+    tok = CLIPTokenizer.from_dir(tok_dir)
+    if tok._native is None:
+        pytest.skip("native tokenizer unavailable")
+    prompts = ["a photo of cat", "watercolor painting of sks dog",
+               "DOG!! cat... unknownword q5x"]
+    for p in prompts:
+        native_ids = tok(p)[0].tolist()
+        tok._native = None  # force python path
+        py_ids = tok(p)[0].tolist()
+        tok._init_native()
+        assert native_ids == py_ids, p

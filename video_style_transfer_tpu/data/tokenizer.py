@@ -67,6 +67,45 @@ class CLIPTokenizer:
             r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"""
             r"""|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
             regex.IGNORECASE)
+        self._init_native()
+
+    def _init_native(self):
+        """Optional C++ BPE merge loop (native/tokenizer.cpp)."""
+        self._native = None
+        try:
+            import ctypes
+            import subprocess
+            base = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), "native")
+            so = os.path.join(base, "build", "libvst_tokenizer.so")
+            if not os.path.exists(so):
+                subprocess.run(["make", "-C", base], check=True,
+                               capture_output=True, timeout=120)
+            lib = ctypes.CDLL(so)
+            lib.tok_create.restype = ctypes.c_void_p
+            lib.tok_create.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+            lib.tok_bpe.restype = ctypes.c_int
+            lib.tok_bpe.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                    ctypes.POINTER(ctypes.c_int),
+                                    ctypes.c_int]
+            vocab_blob = "\n".join(f"{t}\t{i}"
+                                   for t, i in self.encoder.items())
+            merges_blob = "\n".join(
+                f"{a} {b}" for (a, b), _ in
+                sorted(self.bpe_ranks.items(), key=lambda kv: kv[1]))
+            self._native = (lib, lib.tok_create(
+                vocab_blob.encode("utf-8"), merges_blob.encode("utf-8")))
+        except Exception:
+            self._native = None
+
+    def _bpe_ids_native(self, token: str):
+        import ctypes
+        lib, handle = self._native
+        out = (ctypes.c_int * (len(token) + 2))()
+        n = lib.tok_bpe(handle, token.encode("utf-8"), out, len(out))
+        if n < 0:
+            raise KeyError(token)
+        return list(out[:n])
 
     @classmethod
     def from_dir(cls, path: str, **kw) -> "CLIPTokenizer":
@@ -125,7 +164,11 @@ class CLIPTokenizer:
         for token in self.pat.findall(text):
             token = "".join(self.byte_encoder[b]
                             for b in token.encode("utf-8"))
-            ids.extend(self.encoder[t] for t in self.bpe(token).split(" "))
+            if self._native is not None:
+                ids.extend(self._bpe_ids_native(token))
+            else:
+                ids.extend(self.encoder[t]
+                           for t in self.bpe(token).split(" "))
         return ids
 
     def __call__(self, texts, *, max_length: Optional[int] = None,
