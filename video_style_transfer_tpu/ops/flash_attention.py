@@ -35,6 +35,9 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 1024
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634  # exp(x) == exp2(x * LOG2E); exp2 is the
+# VPU-native transcendental, so all softmax math runs in base 2 and the
+# log-sum-exp converts back to natural log only at the boundary
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
@@ -60,9 +63,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
         row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
         v = jnp.where(row < tail, v, 0)
 
+    # logits in base-2 space: s2 = (q k^T) * scale * log2(e)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale          # (bq, bk)
+        preferred_element_type=jnp.float32) * (scale * LOG2E)  # (bq, bk)
 
     if kv_seq % block_k != 0:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -71,8 +75,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
     m_prev = m_ref[:, :1]                                    # (bq, 1)
     m_cur = jnp.max(s, axis=-1, keepdims=True)               # (bq, 1)
     m_new = jnp.maximum(m_prev, m_cur)
-    corr = jnp.exp(m_prev - m_new)                           # (bq, 1)
-    p = jnp.exp(s - m_new)                                   # (bq, bk) f32
+    corr = jnp.exp2(m_prev - m_new)                          # (bq, 1)
+    p = jnp.exp2(s - m_new)                                  # (bq, bk) f32
 
     l_new = corr * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[:] = (acc_ref[:] * corr
@@ -87,7 +91,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
         denom = l_ref[:, :1]
         denom = jnp.where(denom == 0.0, 1.0, denom)
         o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
-        lse_ref[0, 0] = m_ref[:, 0] + jnp.log(denom[:, 0])
+        # natural-log lse at the boundary: ln-sum-exp = ln2*(m2+log2(l))
+        lse_ref[0, 0] = (m_ref[:, 0]
+                         + jnp.log2(denom[:, 0])) * (1.0 / LOG2E)
 
 
 def _flash_fwd_bhsd(q, k, v, *, scale: float, block_q: int, block_k: int,
@@ -168,11 +174,12 @@ def _recompute_p_ds(q, k, v, do, lse, delta, *, scale, kv_seq, block_k, j,
         k = jnp.where(row < kv_tail, k, 0)
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32) \
+        * (scale * LOG2E)
     if kv_seq % block_k != 0:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_tail, s, NEG_INF)
-    p = jnp.exp(s - lse[:, None])
+    p = jnp.exp2(s - lse[:, None] * LOG2E)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     ds = p * (dp - delta[:, None]) * scale
