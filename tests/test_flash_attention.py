@@ -90,3 +90,14 @@ def test_gradients_ragged_and_crossattn():
         assert bool(jnp.all(jnp.isfinite(a)))
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_large_head_dim_vae_shape():
+    """VAE mid-block attention shape: 1 head, d=512 (smaller blocks)."""
+    q = _rand((1, 256, 1, 512), 20)
+    k = _rand((1, 256, 1, 512), 21)
+    v = _rand((1, 256, 1, 512), 22)
+    got = flash_attention(q, k, v)
+    want = sdpa_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)

@@ -56,7 +56,10 @@ def sdpa(q, k, v, *, impl: str = "auto"):
         head_dim = q.shape[-1]
         on_tpu = jax.default_backend() == "tpu"
         if (on_tpu and seq_q >= _FLASH_MIN_SEQ and seq_k >= _FLASH_MIN_SEQ
-                and head_dim in (64, 128)):
+                and head_dim % 64 == 0 and head_dim <= 512):
+            # covers UNet spatial attention (d=64) AND the VAE mid-block
+            # attention (1 head, d=512, seq 16384 at 1024^2 — the XLA
+            # path would materialize a 1 GB logits tensor per frame)
             impl = "pallas"
         else:
             impl = "xla"

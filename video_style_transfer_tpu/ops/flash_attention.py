@@ -342,13 +342,19 @@ def _flash_bhsd_bwd(scale, block_q, block_k, res, g):
 _flash_bhsd.defvjp(_flash_bhsd_fwd, _flash_bhsd_bwd)
 
 
-def flash_attention(q, k, v, *, scale=None, block_q: int = DEFAULT_BLOCK_Q,
-                    block_k: int = DEFAULT_BLOCK_K):
+def flash_attention(q, k, v, *, scale=None, block_q: int = None,
+                    block_k: int = None):
     """q, k, v: (B, S, H, D) -> (B, S, H, D). Differentiable."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
     if scale is None:
         scale = 1.0 / math.sqrt(d)
+    if block_q is None:
+        # large head dims (VAE attention, d=512) need smaller blocks to
+        # stay inside VMEM: per-block bytes scale with block * d
+        block_q = DEFAULT_BLOCK_Q if d <= 128 else 512
+    if block_k is None:
+        block_k = DEFAULT_BLOCK_K if d <= 128 else 512
 
     def to_bhsd(x, s):
         return jnp.swapaxes(x, 1, 2).reshape(b * h, s, d)
