@@ -51,7 +51,15 @@ class Stage1State(NamedTuple):
 
 class ColumnSepConfig(NamedTuple):
     """Schedule constants (reference train.sh:11-12,32 and
-    train_unziplora.py:1860: sampled_steps = ceil(max_steps/sample_times))."""
+    train_unziplora.py:1860: sampled_steps = ceil(max_steps/sample_times)).
+
+    Note on --with_accumulate_cone: the reference can accumulate raw cone
+    matrices during the sampling window (:2151-2153), but its selection
+    step calls get_unziplora_cone(accumulate=False) which OVERWRITES the
+    accumulator with the current step's column sparsity
+    (unziplora_linear_layer.py:144-146) — the accumulated value is never
+    consumed. We implement the effective behavior (select from the
+    current step's cone) and skip the dead accumulation."""
     enabled: bool = False
     max_steps: int = 600
     sample_times: int = 3
