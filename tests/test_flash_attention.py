@@ -101,3 +101,31 @@ def test_large_head_dim_vae_shape():
     want = sdpa_xla(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_numerical_stability_large_logits():
+    """Logits ~ +-900: naive exp would overflow; online softmax must
+    stay finite and match the (stable) XLA reference."""
+    q = _rand((1, 128, 1, 64), 30) * 30.0
+    k = _rand((1, 128, 1, 64), 31) * 30.0
+    v = _rand((1, 128, 1, 64), 32)
+    got = flash_attention(q, k, v, block_q=64, block_k=64)
+    assert bool(jnp.all(jnp.isfinite(got)))
+    want = sdpa_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("sq,sk,bq,bk", [
+    (64, 640, 128, 256),    # q smaller than block, ragged kv
+    (300, 300, 128, 128),   # both ragged
+    (129, 64, 64, 128),     # tiny kv, ragged q
+])
+def test_shape_fuzz(sq, sk, bq, bk):
+    q = _rand((2, sq, 2, 64), sq)
+    k = _rand((2, sk, 2, 64), sk + 1)
+    v = _rand((2, sk, 2, 64), sk + 2)
+    got = flash_attention(q, k, v, block_q=bq, block_k=bk)
+    want = sdpa_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
