@@ -290,6 +290,13 @@ def main(argv=None):
             scalars = {k: float(v) for k, v in metrics.items()}
             scalars["sec_per_step"] = timer.lap() / max(step - start, 1) \
                 if step else timer.lap()
+            # per-block LoRA norms + merger means, the reference's
+            # per-step wandb scalars (train_unziplora.py:2224-2254)
+            from video_style_transfer_tpu.utils.observability import (
+                lora_merge_log, lora_norm_log)
+            for branch in ("content", "style"):
+                scalars.update(lora_norm_log(state.params, branch))
+                scalars.update(lora_merge_log(state.params, branch))
             logger.log(step, scalars)
             print(f"step {step}: loss={scalars['loss']:.4f}")
         if (step + 1) % args.checkpointing_steps == 0:
