@@ -158,6 +158,15 @@ def build(frames: int, res: int, steps: int, tiny: bool, scan: bool,
 
 
 def main():
+    # persistent compile cache: repeat bench runs skip the multi-minute
+    # SDXL compile
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--res", type=int, default=1024)
