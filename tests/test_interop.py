@@ -140,3 +140,25 @@ def test_import_single_lora():
                           tids, mode="base")
     np.testing.assert_allclose(np.asarray(out_style), np.asarray(out_base),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_convert_strict_missing_keys():
+    cfg = UNetConfig.tiny()
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    sd = hf_convert.export_to_state_dict(params)
+    sd.pop("conv_in.weight")
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        hf_convert.convert_to_pytree(sd, _zeros_like_tree(params),
+                                     strict=True)
+    # non-strict fills what it can
+    out = hf_convert.convert_to_pytree(sd, _zeros_like_tree(params),
+                                       strict=False)
+    assert float(jnp.sum(jnp.abs(out["conv_in"]["kernel"]))) == 0.0
+    assert float(jnp.sum(jnp.abs(out["conv_out"]["kernel"]))) > 0.0
+
+
+def test_load_sdxl_missing_dir(tmp_path):
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        hf_convert.load_sdxl(str(tmp_path))
