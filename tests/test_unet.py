@@ -91,3 +91,32 @@ def test_remat_matches(tiny):
     o2 = unet_apply(params, cfg, sample, t, ctx, pooled, tids, mode="base",
                     remat=True)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+
+
+def test_cfg_doubled_video_batch_independence():
+    """Temporal attention must not mix the uncond and cond halves of a
+    CFG-doubled video batch: running the doubled batch equals running
+    each half separately (validates the (B*F)->(B,F,...) reshape)."""
+    cfg = UNetConfig.tiny(use_motion_modules=True)
+    params = init_unet(jax.random.PRNGKey(3), cfg)
+    f, res = 4, 16
+    ks = jax.random.split(jax.random.PRNGKey(11), 8)
+    vid_a = jax.random.normal(ks[0], (f, res, res, 4))
+    vid_b = jax.random.normal(ks[1], (f, res, res, 4))
+    emb = jax.random.normal(ks[2], (2, 7, cfg.cross_attention_dim))
+    pooled = jax.random.normal(ks[3], (2, 32))
+    tids = jnp.tile(jnp.array([[16., 16, 0, 0, 16, 16]]), (2, 1))
+    t = jnp.array([5, 5])
+
+    doubled = jnp.concatenate([vid_a, vid_b], axis=0)
+    out = unet_apply(params, cfg, doubled, t, (emb, None, None), pooled,
+                     tids, mode="base", num_frames=f)
+
+    out_a = unet_apply(params, cfg, vid_a, t[:1], (emb[:1], None, None),
+                       pooled[:1], tids[:1], mode="base", num_frames=f)
+    out_b = unet_apply(params, cfg, vid_b, t[1:], (emb[1:], None, None),
+                       pooled[1:], tids[1:], mode="base", num_frames=f)
+    np.testing.assert_allclose(np.asarray(out[:f]), np.asarray(out_a),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[f:]), np.asarray(out_b),
+                               rtol=1e-4, atol=1e-5)
