@@ -203,3 +203,28 @@ def test_fold_partial_keeps_cross_kv_dynamic():
     assert n == 8 * 4 - 4 * 2  # cross-attn k/v stay dynamic (4 attn2 stacks)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_fold_unziplora_bf16():
+    """bf16 production folding: weight-level fold vs dynamic fp32-branch
+    path within bf16 rounding tolerance (the reference's _fuse_lora does
+    the same fold in fp16, lora_unzip.py:18-48)."""
+    from video_style_transfer_tpu.lora.surgery import fold_unziplora
+    cfg = UNetConfig.tiny()
+    params = init_unet(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    params, state = insert_unziplora(params, jax.random.PRNGKey(1), rank=4,
+                                     dtype=jnp.bfloat16)
+    sample, t, (emb, _, _), pooled, tids = _inputs(cfg)
+    sample = sample.astype(jnp.bfloat16)
+    ctx = (emb.astype(jnp.bfloat16), None, None)
+    want = unet_apply(params, cfg, sample, t, ctx, pooled, tids,
+                      mode="both", state=state)
+    folded, n = fold_unziplora(params, state, mode="both",
+                               fold_cross_kv=True)
+    assert all(l.dtype == jnp.bfloat16 for l in
+               [tree_get(folded, ("conv_in", "kernel"))])
+    got = unet_apply(folded, cfg, sample, t, ctx, pooled, tids,
+                     mode="both", state=state)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=0.1, atol=0.15)
