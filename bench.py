@@ -65,7 +65,7 @@ def _zeros_init(fn, *a, **kw):
 
 
 def build(frames: int, res: int, steps: int, tiny: bool, scan: bool,
-          workload: str = "video"):
+          workload: str = "video", impl: str = "auto"):
     from video_style_transfer_tpu.config import UNetConfig
     from video_style_transfer_tpu.lora.surgery import insert_unziplora
     from video_style_transfer_tpu.models.unet import init_unet
@@ -138,7 +138,7 @@ def build(frames: int, res: int, steps: int, tiny: bool, scan: bool,
             lat = generate_video_latents(
                 params, cfg, cond(1), cond(2), key, num_frames=nf,
                 height=res, width=res, num_steps=steps, mode="both",
-                state=state, impl="auto", dtype=dt, vae_scale_factor=vsf)
+                state=state, impl=impl, dtype=dt, vae_scale_factor=vsf)
             return jnp.sum(lat.astype(jnp.float32))
 
         def execute(seed):
@@ -146,22 +146,28 @@ def build(frames: int, res: int, steps: int, tiny: bool, scan: bool,
 
         return execute
 
-    eps_fn = make_cfg_denoiser(params, cfg, cond(1), cond(2),
-                               cfg_scale=7.5, mode="both", state=state,
-                               num_frames=nf, impl="auto")
+    uncond_c, cond_c = cond(1), cond(2)
 
+    # params/state enter as jit ARGUMENTS (not captured constants): the
+    # closure form bakes ~6 GB of weight constants into the HLO, which
+    # multiplies lowering+compile time and bloats the compile cache
     @jax.jit
-    def one_step(x, i):
-        sigma = table["sigmas"][i]
+    def one_step(params, state, x, sigma, t, sigma_next):
+        eps_fn = make_cfg_denoiser(params, cfg, uncond_c, cond_c,
+                                   cfg_scale=7.5, mode="both",
+                                   state=state, num_frames=nf, impl=impl)
         model_in = scale_model_input(x, sigma)
-        eps = eps_fn(model_in, table["timesteps"][i])
-        return euler_step(x, eps, sigma, table["sigmas"][i + 1])
+        eps = eps_fn(model_in, t)
+        return euler_step(x, eps, sigma, sigma_next)
+
+    sig = jnp.asarray(table["sigmas"], jnp.float32)
+    ts = jnp.asarray(table["timesteps"], jnp.float32)
 
     def execute(seed):
         x = jax.random.normal(jax.random.PRNGKey(seed), lat_shape, dt)
         x = x * table["init_sigma"].astype(dt)
         for i in range(steps):
-            x = one_step(x, i)
+            x = one_step(params, state, x, sig[i], ts[i], sig[i + 1])
         return float(jnp.sum(x.astype(jnp.float32)))
 
     return execute
@@ -186,6 +192,9 @@ def main():
                     help="benchmark the production lax.scan sampler "
                          "(one long execution)")
     ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--impl", default="auto",
+                    choices=["auto", "xla", "pallas"],
+                    help="attention implementation (ablation)")
     ap.add_argument("--workload", default="video",
                     choices=["video", "image"],
                     help="video: 16f AnimateDiff-XL denoise (headline); "
@@ -196,7 +205,7 @@ def main():
         args.steps = 50  # reference image default (infer.py:99)
     _wait_for_backend()
     execute = build(args.frames, args.res, args.steps, args.tiny,
-                    args.scan, args.workload)
+                    args.scan, args.workload, args.impl)
     seed = int(time.time() * 1e3) % (2 ** 31)
 
     execute(seed)  # compile + warm (forced fetch)
