@@ -22,6 +22,7 @@ single executions):
 - fresh time-derived PRNG seeds defeat the result cache.
 """
 import argparse
+import functools
 import json
 import os
 import sys
@@ -65,7 +66,8 @@ def _zeros_init(fn, *a, **kw):
 
 
 def build(frames: int, res: int, steps: int, tiny: bool, scan: bool,
-          workload: str = "video", impl: str = "auto"):
+          workload: str = "video", impl: str = "auto",
+          const: bool = False, randinit: bool = False):
     from video_style_transfer_tpu.config import UNetConfig
     from video_style_transfer_tpu.lora.surgery import insert_unziplora
     from video_style_transfer_tpu.models.unet import init_unet
@@ -89,7 +91,12 @@ def build(frames: int, res: int, steps: int, tiny: bool, scan: bool,
         return insert_unziplora(p, key, rank=64 if not tiny else 4,
                                 dtype=dt)
 
-    params, state_z = _zeros_init(make, jax.random.PRNGKey(0))
+    if randinit:
+        # real random weights: rules out zero-propagation folding when
+        # weights are baked as compile-time constants (--const)
+        params, state_z = make(jax.random.PRNGKey(0))
+    else:
+        params, state_z = _zeros_init(make, jax.random.PRNGKey(0))
 
     def fix(tree, name=None):
         if isinstance(tree, dict):
@@ -148,17 +155,25 @@ def build(frames: int, res: int, steps: int, tiny: bool, scan: bool,
 
     uncond_c, cond_c = cond(1), cond(2)
 
-    # params/state enter as jit ARGUMENTS (not captured constants): the
-    # closure form bakes ~6 GB of weight constants into the HLO, which
-    # multiplies lowering+compile time and bloats the compile cache
-    @jax.jit
-    def one_step(params, state, x, sigma, t, sigma_next):
+    # params/state enter as jit ARGUMENTS by default (not captured
+    # constants): the closure form bakes ~6 GB of weight constants into
+    # the HLO, which multiplies lowering+compile time — and with the
+    # zeros-init benchmark weights would let XLA's algebraic simplifier
+    # fold real work away. --const restores the baked-weights serving
+    # mode (legitimate for a fixed deployed model; pair with --randinit).
+    def step_math(params, state, x, sigma, t, sigma_next):
         eps_fn = make_cfg_denoiser(params, cfg, uncond_c, cond_c,
                                    cfg_scale=7.5, mode="both",
                                    state=state, num_frames=nf, impl=impl)
         model_in = scale_model_input(x, sigma)
         eps = eps_fn(model_in, t)
         return euler_step(x, eps, sigma, sigma_next)
+
+    if const:
+        one_step = jax.jit(functools.partial(step_math, params, state))
+    else:
+        _jitted = jax.jit(step_math)
+        one_step = functools.partial(_jitted, params, state)
 
     sig = jnp.asarray(table["sigmas"], jnp.float32)
     ts = jnp.asarray(table["timesteps"], jnp.float32)
@@ -167,7 +182,7 @@ def build(frames: int, res: int, steps: int, tiny: bool, scan: bool,
         x = jax.random.normal(jax.random.PRNGKey(seed), lat_shape, dt)
         x = x * table["init_sigma"].astype(dt)
         for i in range(steps):
-            x = one_step(params, state, x, sig[i], ts[i], sig[i + 1])
+            x = one_step(x, sig[i], ts[i], sig[i + 1])
         return float(jnp.sum(x.astype(jnp.float32)))
 
     return execute
@@ -195,6 +210,11 @@ def main():
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "xla", "pallas"],
                     help="attention implementation (ablation)")
+    ap.add_argument("--const", action="store_true",
+                    help="bake weights as compile-time constants "
+                         "(deployed-fixed-model serving mode)")
+    ap.add_argument("--randinit", action="store_true",
+                    help="real random weights instead of zeros")
     ap.add_argument("--workload", default="video",
                     choices=["video", "image"],
                     help="video: 16f AnimateDiff-XL denoise (headline); "
@@ -205,7 +225,8 @@ def main():
         args.steps = 50  # reference image default (infer.py:99)
     _wait_for_backend()
     execute = build(args.frames, args.res, args.steps, args.tiny,
-                    args.scan, args.workload, args.impl)
+                    args.scan, args.workload, args.impl,
+                    const=args.const, randinit=args.randinit)
     seed = int(time.time() * 1e3) % (2 ** 31)
 
     execute(seed)  # compile + warm (forced fetch)

@@ -1,0 +1,71 @@
+"""Op-level profile of one denoise step (jax.profiler -> xplane -> table).
+
+Captures a trace of a single full-scale CFG-batched denoise step and
+prints the top ops by self-time from the xplane protobuf via
+tensorboard_plugin_profile. If the tunnel backend exposes no device
+plane, reports what it finds.
+
+  python benchmarks/profile_step.py [--tiny]
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import glob
+import json
+import os
+import tempfile
+
+import jax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--res", type=int, default=1024)
+    ap.add_argument("--top", type=int, default=40)
+    args = ap.parse_args()
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+    import bench  # repo-root bench harness
+    execute = bench.build(
+        frames=4 if args.tiny else args.frames,
+        res=16 if args.tiny else args.res,
+        steps=2, tiny=args.tiny, scan=False, workload="video")
+
+    execute(0)  # compile + warm outside the trace
+
+    logdir = tempfile.mkdtemp(prefix="vst_trace_")
+    jax.profiler.start_trace(logdir)
+    execute(12345)
+    jax.profiler.stop_trace()
+
+    files = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                      recursive=True)
+    print("xplane files:", files)
+    if not files:
+        return
+
+    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    for tool in ["framework_op_stats", "op_profile"]:
+        try:
+            data, _ = rtd.xspace_to_tool_data(files, tool, {})
+            out = os.path.join(logdir, tool + ".json")
+            with open(out, "wb") as f:
+                f.write(data if isinstance(data, bytes)
+                        else data.encode())
+            print(f"wrote {out} ({os.path.getsize(out)} bytes)")
+        except Exception as e:
+            print(f"{tool}: failed: {e!r}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Stage-2 train-step timing at the reference workload.
+
+Reference recipe (train_animatediff.sh:25-26,35-41): 8 frames @ 1024^2,
+bf16, gradient checkpointing, temporal-LoRA rank 32 on the SDXL motion
+UNet, spatial UnZipLoRA rank 64 frozen. This times ONE full jitted train
+step (forward + flash-attention backward + remat + masked AdamW update)
+on the session's single TPU chip, with the forced-fetch / fresh-input
+protocol the tunnel requires (see bench.py docstring).
+
+  python benchmarks/stage2_step.py             # full scale
+  python benchmarks/stage2_step.py --tiny      # wiring smoke
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _zeros_init(fn, *a, **kw):
+    shapes = jax.eval_shape(fn, *a, **kw)
+    return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--res", type=int, default=1024)
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--impl", default="auto",
+                    choices=["auto", "xla", "pallas"])
+    ap.add_argument("--no_remat", action="store_true")
+    args = ap.parse_args()
+
+    cache = "/tmp/jax_cache"
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+    from video_style_transfer_tpu.config import UNetConfig
+    from video_style_transfer_tpu.lora.surgery import (
+        insert_temporal_lora, insert_unziplora, spatial_pairs)
+    from video_style_transfer_tpu.models.unet import init_unet
+    from video_style_transfer_tpu.schedulers.ddpm import make_schedule
+    from video_style_transfer_tpu.training import stage2
+
+    cfg = (UNetConfig.tiny(use_motion_modules=True) if args.tiny
+           else UNetConfig.sdxl(use_motion_modules=True))
+    dt = jnp.bfloat16
+    res = 16 if args.tiny else args.res
+    vsf = 2 if args.tiny else 8
+    f = 2 if args.tiny else args.frames
+    rank_s = 4 if args.tiny else 64
+    rank_t = 4 if args.tiny else 32
+
+    def build(key):
+        p = init_unet(key, cfg, dtype=dt)
+        p, ls = insert_unziplora(p, key, rank=rank_s, dtype=dt)
+        p = insert_temporal_lora(p, key, rank=rank_t, dtype=dt)
+        return p, ls
+
+    params, state_z = _zeros_init(build, jax.random.PRNGKey(0))
+
+    def fix(tree, name=None):
+        if isinstance(tree, dict):
+            return {k: fix(v, k) for k, v in tree.items()}
+        if name and name.startswith("on_"):
+            return jnp.ones(tree.shape, tree.dtype)
+        return tree
+
+    lora_state = fix(state_z)
+    pairs = spatial_pairs(params)
+
+    mask = stage2.trainable_mask(params)
+    opt = stage2.make_optimizer(mask, total_steps=1000)
+    st = stage2.init_state(params, opt)
+    sched = make_schedule()
+
+    xdim = cfg.cross_attention_dim
+    pooled_dim = (cfg.projection_class_embeddings_input_dim
+                  - 6 * cfg.addition_time_embed_dim)
+    lat = res // vsf
+
+    def batch_for(seed):
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        return {
+            "latents": jax.random.normal(k1, (1, f, lat, lat, 4), dt),
+            "ctx": jax.random.normal(k2, (1, 77, xdim), dt),
+            "pooled": jax.random.normal(k3, (1, pooled_dim), dt),
+            "time_ids": jnp.asarray([[res, res, 0, 0, res, res]], dt),
+        }
+
+    step = stage2.make_train_step(cfg, sched, opt, pairs,
+                                  lora_state=lora_state, impl=args.impl,
+                                  remat=not args.no_remat)
+    jit_step = jax.jit(step, donate_argnums=0)
+
+    # compile + warm
+    st, m = jit_step(st, batch_for(0), jax.random.PRNGKey(0))
+    _ = float(m["loss"])
+
+    times = []
+    for t in range(args.trials):
+        seed = int(time.time() * 1e3) % (2 ** 31) + t
+        b = batch_for(seed)
+        t0 = time.time()
+        st, m = jit_step(st, b, jax.random.PRNGKey(seed))
+        _ = float(m["loss"])          # forced fetch
+        times.append(time.time() - t0)
+
+    sec = min(times)
+    print(json.dumps({
+        "metric": f"stage2_train_step_{f}f_{res}px_sec",
+        "value": round(sec, 4),
+        "unit": "sec/step/chip",
+        "impl": args.impl,
+        "remat": not args.no_remat,
+        "all_trials": [round(x, 4) for x in times],
+    }))
+
+
+if __name__ == "__main__":
+    main()
