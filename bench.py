@@ -67,7 +67,8 @@ def _zeros_init(fn, *a, **kw):
 
 def build(frames: int, res: int, steps: int, tiny: bool, scan: bool,
           workload: str = "video", impl: str = "auto",
-          const: bool = False, randinit: bool = False):
+          const: bool = False, randinit: bool = False,
+          autolayout: bool = False):
     from video_style_transfer_tpu.config import UNetConfig
     from video_style_transfer_tpu.lora.surgery import insert_unziplora
     from video_style_transfer_tpu.models.unet import init_unet
@@ -171,6 +172,21 @@ def build(frames: int, res: int, steps: int, tiny: bool, scan: bool,
 
     if const:
         one_step = jax.jit(functools.partial(step_math, params, state))
+    elif autolayout:
+        # weights stay runtime arguments, but XLA picks their layouts
+        # (as it would for baked constants) and the tree is re-laid-out
+        # once up front — the production serving recipe
+        from jax.experimental.layout import Format, Layout
+        auto = Format(Layout.AUTO)
+        jitted = jax.jit(step_math,
+                         in_shardings=(auto, auto, None, None, None, None))
+        z = jnp.zeros(lat_shape, dt)
+        s0 = jnp.zeros((), jnp.float32)
+        compiled = jitted.lower(params, state, z, s0, s0, s0).compile()
+        pf, sf = compiled.input_formats[0][:2]
+        params = jax.tree.map(jax.device_put, params, pf)
+        state = jax.tree.map(jax.device_put, state, sf)
+        one_step = functools.partial(compiled, params, state)
     else:
         _jitted = jax.jit(step_math)
         one_step = functools.partial(_jitted, params, state)
@@ -215,6 +231,9 @@ def main():
                          "(deployed-fixed-model serving mode)")
     ap.add_argument("--randinit", action="store_true",
                     help="real random weights instead of zeros")
+    ap.add_argument("--autolayout", action="store_true",
+                    help="XLA-chosen weight layouts (one-time relayout "
+                         "of the param tree; weights stay jit arguments)")
     ap.add_argument("--workload", default="video",
                     choices=["video", "image"],
                     help="video: 16f AnimateDiff-XL denoise (headline); "
@@ -226,7 +245,8 @@ def main():
     _wait_for_backend()
     execute = build(args.frames, args.res, args.steps, args.tiny,
                     args.scan, args.workload, args.impl,
-                    const=args.const, randinit=args.randinit)
+                    const=args.const, randinit=args.randinit,
+                    autolayout=args.autolayout)
     seed = int(time.time() * 1e3) % (2 ** 31)
 
     execute(seed)  # compile + warm (forced fetch)
