@@ -77,20 +77,34 @@ def init_group_norm(num_channels: int, dtype=jnp.float32):
 def group_norm(p, x, *, num_groups: int, eps: float = 1e-5):
     """GroupNorm over channels-last input (..., C). Normalizes each group
     of C/num_groups channels jointly with all spatial positions, matching
-    torch.nn.GroupNorm semantics."""
+    torch.nn.GroupNorm semantics.
+
+    TPU layout note: statistics are taken as per-CHANNEL spatial sums
+    first (C stays the minor/lane dimension), then aggregated to groups on
+    the tiny (B, C) tensor. The naive reshape to (..., g, C/g) would make
+    the minor dimension 10-40 wide, which the (8,128) vector tiling pads
+    ~12x — measured as the dominant normalization cost in the full-scale
+    denoise step profile."""
     orig_dtype = x.dtype
     c = x.shape[-1]
     g = num_groups
+    lead = x.shape[0]
     xf = x.astype(jnp.float32)
-    # (..., spatial..., C) -> (B, rest, g, c//g): normalize over (rest, c//g)
-    lead = xf.shape[0]
-    xg = xf.reshape(lead, -1, g, c // g)
-    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-    var = jnp.var(xg, axis=(1, 3), keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    xf = xg.reshape(xf.shape)
-    xf = xf * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
-    return xf.astype(orig_dtype)
+    x2 = xf.reshape(lead, -1, c)
+    n_spatial = x2.shape[1]
+    s1 = jnp.sum(x2, axis=1)                       # (B, C)
+    s2 = jnp.sum(x2 * x2, axis=1)                  # (B, C)
+    cnt = n_spatial * (c // g)
+    gmean = s1.reshape(lead, g, c // g).sum(-1) / cnt      # (B, g)
+    gsq = s2.reshape(lead, g, c // g).sum(-1) / cnt
+    inv = jax.lax.rsqrt(jnp.maximum(gsq - gmean * gmean, 0.0) + eps)
+    mean_c = jnp.repeat(gmean, c // g, axis=-1)    # (B, C)
+    inv_c = jnp.repeat(inv, c // g, axis=-1)
+    scale = inv_c * p["scale"].astype(jnp.float32)
+    bias = p["bias"].astype(jnp.float32) - mean_c * scale
+    bshape = (lead,) + (1,) * (x.ndim - 2) + (c,)
+    y = xf * scale.reshape(bshape) + bias.reshape(bshape)
+    return y.astype(orig_dtype)
 
 
 def init_layer_norm(dim: int, dtype=jnp.float32):
