@@ -1,0 +1,99 @@
+"""Pixel-lanes temporal-attention kernel equivalence + gradients
+(SURVEY.md §4 test plan item b). Interpreter mode on CPU; the same
+kernel compiles for TPU (verified on hardware at the full motion
+shapes)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from video_style_transfer_tpu.ops.temporal_attention import (
+    temporal_attention_frames)
+
+
+def _mk(i, shape, dtype=jnp.float32):
+    return jax.random.normal(jax.random.PRNGKey(i), shape, dtype)
+
+
+@pytest.mark.parametrize("f,p,n,h", [
+    (16, 320, 256, 8),    # level-0 motion shape (D=40)
+    (8, 640, 128, 8),     # level-1, training frame count (D=80)
+    (4, 64, 384, 4),      # tiny-config shape, ragged n vs block
+])
+def test_matches_reference(f, p, n, h):
+    qs = [_mk(3 * i + 0, (p, n)) for i in range(f)]
+    ks = [_mk(3 * i + 1, (p, n)) for i in range(f)]
+    vs = [_mk(3 * i + 2, (p, n)) for i in range(f)]
+    got = temporal_attention_frames(qs, ks, vs, num_heads=h, block_n=128)
+    want = temporal_attention_frames(qs, ks, vs, num_heads=h, impl="xla")
+    for g_, w_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g_), np.asarray(w_),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_per_pixel_independence():
+    """Pixels must not mix: changing pixel j only changes outputs at j."""
+    f, p, n, h = 4, 64, 128, 4
+    qs = [_mk(i, (p, n)) for i in range(f)]
+    ks = [_mk(10 + i, (p, n)) for i in range(f)]
+    vs = [_mk(20 + i, (p, n)) for i in range(f)]
+    base = temporal_attention_frames(qs, ks, vs, num_heads=h)
+    ks2 = [k.at[:, 7].set(3.21) for k in ks]
+    pert = temporal_attention_frames(qs, ks2, vs, num_heads=h)
+    for b_, p_ in zip(base, pert):
+        d = np.abs(np.asarray(b_) - np.asarray(p_))
+        assert d[:, 7].max() > 0
+        d[:, 7] = 0
+        assert d.max() == 0
+
+
+def test_head_independence():
+    """Heads must not mix: per-head perturbation stays in its D rows."""
+    f, p, n, h = 4, 128, 128, 4
+    d = p // h
+    qs = [_mk(i, (p, n)) for i in range(f)]
+    ks = [_mk(10 + i, (p, n)) for i in range(f)]
+    vs = [_mk(20 + i, (p, n)) for i in range(f)]
+    base = temporal_attention_frames(qs, ks, vs, num_heads=h)
+    vs2 = [v.at[d:2 * d].set(-v[d:2 * d]) for v in vs]
+    pert = temporal_attention_frames(qs, ks, vs2, num_heads=h)
+    for b_, p_ in zip(base, pert):
+        diff = np.abs(np.asarray(b_) - np.asarray(p_))
+        assert diff[d:2 * d].max() > 0
+        diff[d:2 * d] = 0
+        assert diff.max() == 0
+
+
+def test_gradients_match_reference():
+    f, p, n, h = 4, 64, 128, 4
+    qs = [_mk(i, (p, n)) for i in range(f)]
+    ks = [_mk(10 + i, (p, n)) for i in range(f)]
+    vs = [_mk(20 + i, (p, n)) for i in range(f)]
+
+    def loss(fn_impl):
+        def go(qs_, ks_, vs_):
+            out = temporal_attention_frames(qs_, ks_, vs_, num_heads=h,
+                                            impl=fn_impl)
+            return sum(jnp.sum(o ** 2) for o in out)
+        return go
+
+    g1 = jax.grad(loss("auto"), argnums=(0, 1, 2))(qs, ks, vs)
+    g2 = jax.grad(loss("xla"), argnums=(0, 1, 2))(qs, ks, vs)
+    for l1, l2 in zip(g1, g2):
+        for a, b in zip(l1, l2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-4)
+
+
+def test_bf16_io():
+    f, p, n, h = 8, 320, 256, 8
+    qs = [_mk(i, (p, n), jnp.bfloat16) for i in range(f)]
+    ks = [_mk(10 + i, (p, n), jnp.bfloat16) for i in range(f)]
+    vs = [_mk(20 + i, (p, n), jnp.bfloat16) for i in range(f)]
+    got = temporal_attention_frames(qs, ks, vs, num_heads=h)
+    want = temporal_attention_frames(qs, ks, vs, num_heads=h, impl="xla")
+    for g_, w_ in zip(got, want):
+        assert g_.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(g_, np.float32),
+                                   np.asarray(w_, np.float32),
+                                   rtol=3e-2, atol=3e-2)

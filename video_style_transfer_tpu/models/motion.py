@@ -7,10 +7,17 @@ the temporal math lives in animatediff/temporal_transformer.py:79-146
 encoding, max 32 frames). Here motion modules are first-class optional
 UNet sub-modules.
 
-Layout: video activations are (B, F, H, W, C); temporal attention reshapes
-to (B*H*W, F, C) — under a mesh the frame axis is all-gathered per pixel
-block, which at F<=32 is a tiny ICI transfer (SURVEY.md §5 long-context
-row).
+Layout: tokens are ordered (F, N, C) inside the module (a cheap
+leading-dim shuffle from the spatial (B*F, H, W, C) batch). Temporal
+attention then runs in the pixel-lanes orientation: the q/k/v
+projections emit per-frame (P, N) arrays directly — a plain A@B^T dot
+per frame, no transposes — and ops/temporal_attention.py contracts the
+frame axis per pixel on the VPU (as batched F x D matmuls the MXU pads
+every tiny contraction to its 128-wide tiles; profiled at ~600 ms of
+the 3.2 s full-scale denoise step, ~5x slower than the kernel).
+
+Under a mesh the frame axis is all-gathered per pixel block, which at
+F<=32 is a tiny ICI transfer (SURVEY.md §5 long-context row).
 """
 from __future__ import annotations
 
@@ -19,8 +26,10 @@ import jax.numpy as jnp
 
 from video_style_transfer_tpu.models import layers
 from video_style_transfer_tpu.models.attention import (
-    attention, feed_forward, init_attention, init_feed_forward)
+    feed_forward, init_attention, init_feed_forward)
 from video_style_transfer_tpu.models.embeddings import temporal_positional_encoding
+from video_style_transfer_tpu.ops.temporal_attention import (
+    temporal_attention_frames)
 
 
 def init_motion_block(key, dim: int, *, heads: int, dtype=jnp.float32):
@@ -33,11 +42,54 @@ def init_motion_block(key, dim: int, *, heads: int, dtype=jnp.float32):
     }
 
 
+def _proj_pixel_lanes(p, xf):
+    """xf: (N, C) one frame of hidden states -> (P, N) pixel-lanes
+    projection q_f = W^T x^T, optionally + the temporal-LoRA delta."""
+    w = p["kernel"].astype(xf.dtype)
+    y = jnp.einsum("cp,nc->pn", w, xf)
+    if "bias" in p:
+        y = y + p["bias"].astype(y.dtype)[:, None]
+    if "tlora" in p:
+        t = p["tlora"]
+        # fp32 rank-space path, matching lora/temporal.apply_temporal_lora
+        l = jnp.einsum("nc,cr->nr", xf.astype(jnp.float32),
+                       t["a"].astype(jnp.float32))
+        d = jnp.einsum("nr,rp->pn", l, t["b"].astype(jnp.float32))
+        y = y + (d * t["scale"]).astype(y.dtype)
+    return y
+
+
+def _out_proj(p, of):
+    """of: (P, N) attention output -> (N, C) tokens."""
+    w = p["kernel"].astype(of.dtype)
+    y = jnp.einsum("pq,pn->nq", w, of)
+    if "bias" in p:
+        y = y + p["bias"].astype(y.dtype)
+    if "tlora" in p:
+        t = p["tlora"]
+        l = jnp.einsum("pn,pr->nr", of.astype(jnp.float32),
+                       t["a"].astype(jnp.float32))
+        d = jnp.einsum("nr,rq->nq", l, t["b"].astype(jnp.float32))
+        y = y + (d * t["scale"]).astype(y.dtype)
+    return y
+
+
+def _temporal_attention(p, x, *, heads: int, impl: str = "auto"):
+    """x: (F, N, C) -> (F, N, C); frame-axis self-attention per pixel."""
+    f_ = x.shape[0]
+    qs = [_proj_pixel_lanes(p["to_q"], x[f]) for f in range(f_)]
+    ks = [_proj_pixel_lanes(p["to_k"], x[f]) for f in range(f_)]
+    vs = [_proj_pixel_lanes(p["to_v"], x[f]) for f in range(f_)]
+    impl_ta = "xla" if impl == "xla" else "auto"
+    os_ = temporal_attention_frames(qs, ks, vs, num_heads=heads,
+                                    impl=impl_ta)
+    return jnp.stack([_out_proj(p["to_out"], o) for o in os_], axis=0)
+
+
 def motion_block(p, x, *, heads: int, state=None, impl: str = "auto"):
-    """x: (N, F, C) — self-attention across the frame axis."""
+    """x: (F, N, C) — self-attention across the frame axis."""
     h = layers.layer_norm(p["norm1"], x)
-    x = x + attention(p["attn1"], h, None, heads=heads, mode="base",
-                      state=None, impl=impl)
+    x = x + _temporal_attention(p["attn1"], h, heads=heads, impl=impl)
     h = layers.layer_norm(p["norm2"], x)
     x = x + feed_forward(p["ff"], h)
     return x
@@ -68,21 +120,23 @@ def motion_module(p, x, *, num_frames: int, heads: int, norm_num_groups: int,
                   remat: bool = False):
     """x: (B*F, H, W, C) (spatial batch layout). Returns same shape.
 
-    Internally: (B, F, H, W, C) -> (B*H*W, F, C), add frame positional
-    encoding, run temporal blocks, project back, residual-add.
+    Internally: (B, F, H*W, C) -> (F, B*H*W, C) (leading-dim shuffle),
+    add frame positional encoding, run temporal blocks, project back,
+    residual-add.
     """
     bf, h, w, c = x.shape
     b = bf // num_frames
     residual = x
 
     y = layers.group_norm(p["norm"], x, num_groups=norm_num_groups)
-    y = y.reshape(b, num_frames, h, w, c)
-    # (B, F, H, W, C) -> (B, H, W, F, C) -> (B*H*W, F, C)
-    y = jnp.transpose(y, (0, 2, 3, 1, 4)).reshape(b * h * w, num_frames, c)
+    y = y.reshape(b, num_frames, h * w, c)
+    # (B, F, HW, C) -> (F, B, HW, C): chunk shuffle of the two leading
+    # dims only — C stays minor, HW*C spans move whole
+    y = jnp.transpose(y, (1, 0, 2, 3)).reshape(num_frames, b * h * w, c)
     y = layers.linear(p["proj_in"], y)
 
     pe = temporal_positional_encoding(num_frames, c, max_len=max_seq_length)
-    y = y + pe[None].astype(y.dtype)
+    y = y + pe[:, None, :].astype(y.dtype)
 
     def body(y_, bp):
         return motion_block(bp, y_, heads=heads, impl=impl), None
@@ -92,6 +146,6 @@ def motion_module(p, x, *, num_frames: int, heads: int, norm_num_groups: int,
     y, _ = jax.lax.scan(body, y, p["transformer_blocks"])
 
     y = layers.linear(p["proj_out"], y)
-    y = y.reshape(b, h, w, num_frames, c)
-    y = jnp.transpose(y, (0, 3, 1, 2, 4)).reshape(bf, h, w, c)
+    y = y.reshape(num_frames, b, h, w, c)
+    y = jnp.transpose(y, (1, 0, 2, 3, 4)).reshape(bf, h, w, c)
     return y + residual

@@ -1,0 +1,165 @@
+"""Per-pixel temporal (frame-axis) attention — pixel-lanes Pallas kernel.
+
+The AnimateDiff motion modules attend over F<=32 frames independently at
+every pixel (reference spec: animatediff/temporal_transformer.py:79-146).
+As batched matmuls this is ~B*H*W*heads tiny (F x D)@(D x F) contractions
+— the MXU pads each one to its 128-lane tiles, and the full-scale profile
+shows the motion scans costing ~600 ms of the 3.2 s denoise step.
+
+This kernel instead lays activations out "pixel-lanes": pixels ride the
+128-wide VPU lanes, head_dim rides sublanes, and the F x F logits are
+elementwise multiplies + sublane reductions — no MXU involvement, no
+padding anywhere. Each frame is a separate (P, N) input array (P =
+heads*head_dim), which the q/k/v projections produce for free as
+`einsum('nc,cp->pn', x[f], W)` — slicing tokens ordered (F, N, C) on the
+leading dim costs nothing, and every kernel block is a clean 2-D
+(head_dim, block_n) tile with zero layout offsets (Mosaic rejects
+reductions over sublane-offset slices of 3-D blocks).
+
+Differentiation: custom_vjp whose backward recomputes through the XLA
+reference formulation (F is tiny, so the materialized (H,F,F,N) weights
+are small; training runs at F=8).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LOG2E = 1.4426950408889634
+
+
+def _kernel(*refs, num_frames: int, scale: float):
+    """refs: F q-refs, F k-refs, F v-refs, F out-refs; each block
+    (head_dim, block_n) — one head per grid row, pixels in lanes."""
+    f_ = num_frames
+    q_refs = refs[:f_]
+    k_refs = refs[f_:2 * f_]
+    v_refs = refs[2 * f_:3 * f_]
+    o_refs = refs[3 * f_:]
+
+    # Loads are per-use: materializing all F k/v tiles as values first
+    # needs ~640 vector registers and Mosaic spills everything (measured
+    # 37 ms vs ~6 ms for this streaming form). Products stay bf16 (as an
+    # MXU would keep them) with f32 reduction/accumulation.
+    s2 = scale * LOG2E
+    for f in range(f_):
+        qf = q_refs[f][...]                            # (D, bn) bf16
+        logits = [jnp.sum((qf * k_refs[g][...]).astype(jnp.float32),
+                          axis=0) * s2                 # (bn,)
+                  for g in range(f_)]
+        m = logits[0]
+        for g in range(1, f_):
+            m = jnp.maximum(m, logits[g])
+        ws = [jnp.exp2(lg - m) for lg in logits]
+        denom = ws[0]
+        for g in range(1, f_):
+            denom = denom + ws[g]
+        acc = ws[0][None, :] * v_refs[0][...].astype(jnp.float32)
+        for g in range(1, f_):
+            acc = acc + ws[g][None, :] * v_refs[g][...].astype(jnp.float32)
+        o_refs[f][...] = (acc * (1.0 / denom)[None, :]) \
+            .astype(o_refs[f].dtype)
+
+
+def _reference_stacked(q, k, v, *, num_heads: int, scale: float):
+    """XLA reference: q/k/v (F, P, N) with P = num_heads * head_dim."""
+    f_, p_, n_ = q.shape
+    d = p_ // num_heads
+
+    def split(x):
+        return x.reshape(f_, num_heads, d, n_)
+
+    qh, kh, vh = split(q), split(k), split(v)
+    logits = jnp.einsum("fhdn,ghdn->hfgn", qh, kh,
+                        preferred_element_type=jnp.float32) * scale
+    w = jax.nn.softmax(logits, axis=2)
+    o = jnp.einsum("hfgn,ghdn->fhdn", w.astype(v.dtype), vh,
+                   preferred_element_type=jnp.float32)
+    return o.reshape(f_, p_, n_).astype(q.dtype)
+
+
+def _fwd_kernel_call(qs, ks, vs, *, num_heads: int, scale: float,
+                     block_n: int, interpret=None):
+    if interpret is None:
+        import os
+        interpret = jax.default_backend() != "tpu" or \
+            os.environ.get("VST_FLASH_INTERPRET") == "1"
+    f_ = len(qs)
+    p_, n_ = qs[0].shape
+    d = p_ // num_heads
+    bn = min(block_n, n_)
+    grid = (num_heads, pl.cdiv(n_, bn))
+    spec = pl.BlockSpec((d, bn), lambda h, i: (h, i))
+    n_arr = 3 * f_
+    return pl.pallas_call(
+        functools.partial(_kernel, num_frames=f_, scale=scale),
+        grid=grid,
+        in_specs=[spec] * n_arr,
+        out_specs=[spec] * f_,
+        out_shape=[jax.ShapeDtypeStruct((p_, n_), qs[0].dtype)] * f_,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            # 3F in + F out double-buffered blocks exceed the default
+            # 16MB scoped-vmem budget at F=16
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * p_ * f_ * f_ * n_,
+            bytes_accessed=4 * p_ * f_ * n_ * qs[0].dtype.itemsize,
+            transcendentals=num_heads * f_ * f_ * n_),
+        interpret=interpret,
+    )(*qs, *ks, *vs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _ta_frames(qs, ks, vs, num_heads, scale, block_n):
+    return _fwd_kernel_call(qs, ks, vs, num_heads=num_heads, scale=scale,
+                            block_n=block_n)
+
+
+def _ta_fwd(qs, ks, vs, num_heads, scale, block_n):
+    out = _fwd_kernel_call(qs, ks, vs, num_heads=num_heads, scale=scale,
+                           block_n=block_n)
+    return out, (qs, ks, vs)
+
+
+def _ta_bwd(num_heads, scale, block_n, res, g):
+    qs, ks, vs = res
+
+    def ref_list(qs_, ks_, vs_):
+        out = _reference_stacked(
+            jnp.stack(qs_), jnp.stack(ks_), jnp.stack(vs_),
+            num_heads=num_heads, scale=scale)
+        return [out[f] for f in range(len(qs_))]
+
+    _, vjp = jax.vjp(ref_list, qs, ks, vs)
+    return vjp(list(g))
+
+
+_ta_frames.defvjp(_ta_fwd, _ta_bwd)
+
+
+def temporal_attention_frames(qs, ks, vs, *, num_heads: int, scale=None,
+                              block_n: int = 1024, impl: str = "auto"):
+    """qs, ks, vs: length-F lists of (P, N) pixel-lanes arrays,
+    P = heads * head_dim. Softmax attention over the frame axis
+    independently per pixel n and head. Returns a length-F list of
+    (P, N) outputs."""
+    p_, n_ = qs[0].shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(p_ // num_heads)
+    if (p_ // num_heads) % 8 != 0 and (p_ // num_heads) != p_:
+        # head_dim must tile sublanes (or be the whole array dim);
+        # tiny test configs (d=4) take the XLA path
+        impl = "xla"
+    if impl == "xla":
+        out = _reference_stacked(jnp.stack(qs), jnp.stack(ks),
+                                 jnp.stack(vs), num_heads=num_heads,
+                                 scale=scale)
+        return [out[f] for f in range(len(qs))]
+    return _ta_frames(list(qs), list(ks), list(vs), num_heads,
+                      float(scale), block_n)
