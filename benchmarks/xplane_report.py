@@ -57,10 +57,62 @@ def report(path, top, pattern=None):
                   f"{nm[:110]}")
 
 
+def _category(nm):
+    m = re.match(r'%([a-zA-Z\-_]+)[\.\d]* =', nm)
+    op = m.group(1) if m else nm[:30]
+    if op == 'fusion':
+        k = re.search(r'kind=(\w+)', nm)
+        op = 'fusion:' + (k.group(1) if k else '?')
+    if 'tpu_custom_call' in nm:
+        op = 'pallas'
+    return op
+
+
+def categorized(path, top=25):
+    """Aggregate the device 'XLA Ops' line by op category (while/
+    conditional wrappers excluded so totals match module wall time), plus
+    a copy-by-shape table."""
+    xs = load_xspace(path)
+    plane = [p for p in xs.planes if 'TPU' in p.name and 'Host' not in
+             p.name][0]
+    emeta, _ = plane_tables(plane)
+    line = [l for l in plane.lines if l.name == 'XLA Ops'][0]
+    tot = collections.Counter()
+    cnt = collections.Counter()
+    byname = collections.Counter()
+    copies = collections.Counter()
+    for ev in line.events:
+        nm = emeta.get(ev.metadata_id, str(ev.metadata_id))
+        c = _category(nm)
+        if c in ('while', 'conditional'):
+            continue
+        tot[c] += ev.duration_ps
+        cnt[c] += 1
+        byname[nm] += ev.duration_ps
+        if c == 'copy':
+            m = re.match(r'%copy[\.\d]* = (\S+) copy\((\S+?) ', nm)
+            if m:
+                copies[f"{m.group(2)} -> {m.group(1)}"] += ev.duration_ps
+    T = sum(tot.values())
+    print(f"total op time {T/1e9:.0f} ms")
+    for c, ps in tot.most_common(top):
+        print(f"{ps/1e9:9.1f} ms {100*ps/T:5.1f}% {cnt[c]:6d}  {c}")
+    print("\ntop individual ops:")
+    for nm, ps in byname.most_common(top):
+        print(f"{ps/1e9:8.1f} ms  {nm[:140]}")
+    print("\ntop copies by shape:")
+    for k, ps in copies.most_common(15):
+        print(f"{ps/1e9:8.1f} ms  {k[:150]}")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("xplane")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--pattern", default=None)
+    ap.add_argument("--categorized", action="store_true")
     a = ap.parse_args()
-    report(a.xplane, a.top, a.pattern)
+    if a.categorized:
+        categorized(a.xplane, a.top)
+    else:
+        report(a.xplane, a.top, a.pattern)

@@ -84,7 +84,6 @@ def init_feed_forward(key, dim: int, *, mult: int = 4, dtype=jnp.float32):
 
 
 def feed_forward(p, x):
-    h = layers.linear(p["proj"], x)
-    h, gate = jnp.split(h, 2, axis=-1)
-    h = h * layers.gelu(gate)
+    from video_style_transfer_tpu.ops.geglu import geglu_projection
+    h = geglu_projection(x, p["proj"]["kernel"], p["proj"]["bias"])
     return layers.linear(p["out"], h)

@@ -139,7 +139,8 @@ def _flash_fwd_bhsd(q, k, v, *, scale: float, block_q: int, block_k: int,
             pltpu.VMEM((block_q, d), jnp.float32),     # output accum
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * sq * sk * d,
             bytes_accessed=2 * bh * (sq + 2 * sk + sq) * d,
@@ -262,7 +263,8 @@ def _flash_fwd_bs_hd(q, k, v, *, num_heads: int, scale: float,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary")),
+                                 "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * num_heads * sq * sk * d,
             bytes_accessed=2 * b * (2 * sq + 2 * sk) * hd,
@@ -405,7 +407,8 @@ def _flash_bwd_bhsd(q, k, v, do, o, lse, *, scale, block_q, block_k,
         out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=6 * bh * sq * sk * d,
             bytes_accessed=2 * bh * (3 * sq + 2 * sk) * d,
@@ -428,7 +431,8 @@ def _flash_bwd_bhsd(q, k, v, do, o, lse, *, scale, block_q, block_k,
         scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
                         pltpu.VMEM((block_k, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=8 * bh * sq * sk * d,
             bytes_accessed=2 * bh * (2 * sq + 4 * sk) * d,

@@ -1,0 +1,141 @@
+"""Fused GEGLU projection — Pallas TPU kernel.
+
+The transformer FF layer (diffusers FeedForward w/ GEGLU; reference
+unzip_attention.py:222-228) computes ``h, g = split(x @ W, 2); h *
+gelu(g)``. XLA materializes the full 2*inner projection (640 MB bf16 at
+the SDXL mid level per execution) and gates it in a separate loop
+fusion — profiled at ~95 ms per 10-layer transformer in the full-scale
+denoise step. This kernel computes both halves as two MXU dots per
+output tile and applies the gate in the epilogue, writing only the
+gated half: one 2x-inner round trip of HBM traffic saved per FF.
+
+W stays the checkpoint layout (C, 2*inner) with halves [W_h | W_g]; the
+kernel receives it twice with index maps offset by inner, so no slice is
+ever materialized. gelu is exact (erf), matching layers.gelu.
+
+Backward: custom_vjp recomputes through the XLA reference (the FF input
+is the residual-stream activation the surrounding remat policy already
+keeps; training throughput is not this kernel's target).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+_LOG2E = 1.4426950408889634
+
+
+def _erf_as(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (max abs error 1.5e-7 —
+    below bf16 output precision and the fp32 golden-test tolerances).
+    Mosaic has no erf primitive; exp2 is the VPU transcendental."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429))))
+    e = jnp.exp2(-(ax * ax) * _LOG2E)
+    return sign * (1.0 - poly * e)
+
+
+def _gelu_exact(x):
+    return 0.5 * x * (1.0 + _erf_as(x * (2.0 ** -0.5)))
+
+
+def _kernel(x_ref, wh_ref, wg_ref, bh_ref, bg_ref, o_ref):
+    x = x_ref[...]
+    h = jax.lax.dot_general(x, wh_ref[...].astype(x.dtype),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    g = jax.lax.dot_general(x, wg_ref[...].astype(x.dtype),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = h + bh_ref[...].astype(jnp.float32)
+    g = g + bg_ref[...].astype(jnp.float32)
+    o_ref[...] = (h * _gelu_exact(g)).astype(o_ref.dtype)
+
+
+def _fwd_call(x2d, w, b, *, inner: int, block_m: int, block_i: int,
+              interpret=None):
+    if interpret is None:
+        import os
+        interpret = jax.default_backend() != "tpu" or \
+            os.environ.get("VST_FLASH_INTERPRET") == "1"
+    m, c = x2d.shape
+    bm = min(block_m, m)
+    bi = min(block_i, inner)
+    grid = (pl.cdiv(m, bm), pl.cdiv(inner, bi))
+    nb_i = inner // bi if inner % bi == 0 else pl.cdiv(inner, bi)
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, c), lambda i, j: (i, 0)),
+            # W passed twice: h half at block column j, gate half at
+            # block column j + inner/bi
+            pl.BlockSpec((c, bi), lambda i, j: (0, j)),
+            pl.BlockSpec((c, bi), lambda i, j, _o=nb_i: (0, j + _o)),
+            pl.BlockSpec((1, bi), lambda i, j: (0, j)),
+            pl.BlockSpec((1, bi), lambda i, j, _o=nb_i: (0, j + _o)),
+        ],
+        out_specs=pl.BlockSpec((bm, bi), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, inner), x2d.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * c * inner,
+            bytes_accessed=2 * (m * c + 2 * c * inner + m * inner),
+            transcendentals=m * inner),
+        interpret=interpret,
+    )(x2d, w, w, b.reshape(1, -1), b.reshape(1, -1))
+
+
+def _reference(x2d, w, b):
+    y = jnp.dot(x2d, w.astype(x2d.dtype)) + b.astype(x2d.dtype)
+    h, g = jnp.split(y, 2, axis=-1)
+    return h * jax.nn.gelu(g.astype(jnp.float32),
+                           approximate=False).astype(h.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _geglu(x2d, w, b, inner, block_m, block_i):
+    return _fwd_call(x2d, w, b, inner=inner, block_m=block_m,
+                     block_i=block_i)
+
+
+def _geglu_fwd(x2d, w, b, inner, block_m, block_i):
+    out = _fwd_call(x2d, w, b, inner=inner, block_m=block_m,
+                    block_i=block_i)
+    return out, (x2d, w, b)
+
+
+def _geglu_bwd(inner, block_m, block_i, res, g):
+    x2d, w, b = res
+    _, vjp = jax.vjp(_reference, x2d, w, b)
+    return vjp(g)
+
+
+_geglu.defvjp(_geglu_fwd, _geglu_bwd)
+
+
+def geglu_projection(x, w, b, *, block_m: int = 512, block_i: int = 512):
+    """x: (..., C); w: (C, 2*inner); b: (2*inner,). Returns
+    (..., inner) = h * gelu(g) with [h|g] = x@w + b. Falls back to the
+    XLA form when shapes don't tile (tiny test configs)."""
+    c = x.shape[-1]
+    inner = w.shape[1] // 2
+    lead = x.shape[:-1]
+    x2d = x.reshape(-1, c)
+    m = x2d.shape[0]
+    if (inner % 128 != 0 or c % 128 != 0 or m % 8 != 0
+            or inner % min(block_i, inner) != 0):
+        out = _reference(x2d, w.astype(x2d.dtype), b)
+    else:
+        out = _geglu(x2d, w, b, inner, block_m, block_i)
+    return out.reshape(lead + (inner,))

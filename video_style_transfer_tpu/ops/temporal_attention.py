@@ -128,16 +128,38 @@ def _ta_fwd(qs, ks, vs, num_heads, scale, block_n):
 
 
 def _ta_bwd(num_heads, scale, block_n, res, g):
+    """Per-head backward: every tensor stays (F, D, N) — the stacked
+    (F, H, D, N) reshape form made XLA pick a layout with 3.2x sublane
+    padding, which alone OOMed the full-scale stage-2 train step."""
     qs, ks, vs = res
+    p_, n_ = qs[0].shape
+    d = p_ // num_heads
+    f_ = len(qs)
 
-    def ref_list(qs_, ks_, vs_):
-        out = _reference_stacked(
-            jnp.stack(qs_), jnp.stack(ks_), jnp.stack(vs_),
-            num_heads=num_heads, scale=scale)
-        return [out[f] for f in range(len(qs_))]
+    def head_ref(qh, kh, vh):
+        logits = jnp.einsum("fdn,gdn->fgn", qh, kh,
+                            preferred_element_type=jnp.float32) * scale
+        w = jax.nn.softmax(logits, axis=1)
+        return jnp.einsum("fgn,gdn->fdn", w.astype(vh.dtype), vh,
+                          preferred_element_type=jnp.float32) \
+            .astype(qh.dtype)
 
-    _, vjp = jax.vjp(ref_list, qs, ks, vs)
-    return vjp(list(g))
+    dq_h, dk_h, dv_h = [], [], []
+    for h in range(num_heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh = jnp.stack([q[sl] for q in qs])
+        kh = jnp.stack([k[sl] for k in ks])
+        vh = jnp.stack([v[sl] for v in vs])
+        gh = jnp.stack([gf[sl] for gf in g])
+        _, vjp = jax.vjp(head_ref, qh, kh, vh)
+        dq_h.append(vjp(gh))
+    dqs = [jnp.concatenate([dq_h[h][0][f] for h in range(num_heads)],
+                           axis=0) for f in range(f_)]
+    dks = [jnp.concatenate([dq_h[h][1][f] for h in range(num_heads)],
+                           axis=0) for f in range(f_)]
+    dvs = [jnp.concatenate([dq_h[h][2][f] for h in range(num_heads)],
+                           axis=0) for f in range(f_)]
+    return dqs, dks, dvs
 
 
 _ta_frames.defvjp(_ta_fwd, _ta_bwd)
