@@ -99,7 +99,7 @@ def main():
             "time_ids": jnp.asarray([[res, res, 0, 0, res, res]], dt),
         }
 
-    step = stage2.make_train_step(cfg, sched, opt, pairs,
+    step = stage2.make_train_step(cfg, sched, opt, pairs, mask=mask,
                                   lora_state=lora_state, impl=args.impl,
                                   remat=not args.no_remat)
     jit_step = jax.jit(step, donate_argnums=0)

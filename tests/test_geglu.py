@@ -19,6 +19,7 @@ def _ref(x, w, b):
     (64, 128, 512),     # tiled path
     (16, 128, 256),     # tiled path, single inner block
     (10, 24, 96),       # untiled fallback (tiny config dims)
+    (16, 64, 1280),     # level-0 motion FF inner: bi falls to 256
 ])
 def test_matches_reference(m, c, inner):
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)

@@ -73,7 +73,7 @@ def test_stage2_frame_parallel_runs():
     mask = stage2.trainable_mask(params)
     opt = stage2.make_optimizer(mask, total_steps=4, warmup=1)
     sched = make_schedule(num_train_timesteps=50)
-    step = stage2.make_train_step(cfg, sched, opt, pairs,
+    step = stage2.make_train_step(cfg, sched, opt, pairs, mask=mask,
                                   lora_state=lora_state, remat=False)
     state = stage2.init_state(params, opt)
 
@@ -96,3 +96,58 @@ def test_stage2_frame_parallel_runs():
                                            jax.random.PRNGKey(6))
     assert np.isfinite(float(metrics["loss"]))
     assert int(new_state.step) == 1
+
+
+def test_stage2_frozen_params_do_not_drift():
+    """Regression: optax.masked passes un-masked updates through
+    UNCHANGED, so the frozen SDXL/spatial weights drifted by raw
+    gradients. The multi_transform + trainable-only-backward step must
+    leave every frozen leaf bitwise identical."""
+    import numpy as np
+    from video_style_transfer_tpu.config import UNetConfig
+    from video_style_transfer_tpu.lora.surgery import (
+        insert_temporal_lora, insert_unziplora, spatial_pairs)
+    from video_style_transfer_tpu.models.unet import init_unet
+    from video_style_transfer_tpu.schedulers.ddpm import make_schedule
+    from video_style_transfer_tpu.training import stage2
+
+    cfg = UNetConfig.tiny(use_motion_modules=True)
+    key = jax.random.PRNGKey(0)
+    params = init_unet(key, cfg)
+    params, lora_state = insert_unziplora(params, key, rank=2)
+    params = insert_temporal_lora(params, key, rank=2)
+    mask = stage2.trainable_mask(params)
+    opt = stage2.make_optimizer(mask, total_steps=4, warmup=1)
+    pairs = spatial_pairs(params)
+    step = jax.jit(stage2.make_train_step(
+        cfg, sched=make_schedule(), optimizer=opt, pairs=pairs,
+        mask=mask, lora_state=lora_state, remat=False))
+    st = stage2.init_state(params, opt)
+
+    xdim = cfg.cross_attention_dim
+    pooled_dim = (cfg.projection_class_embeddings_input_dim
+                  - 6 * cfg.addition_time_embed_dim)
+    batch = {
+        "latents": jax.random.normal(jax.random.PRNGKey(1),
+                                     (1, 2, 8, 8, 4)),
+        "ctx": jax.random.normal(jax.random.PRNGKey(2), (1, 7, xdim)),
+        "pooled": jax.random.normal(jax.random.PRNGKey(3),
+                                    (1, pooled_dim)),
+        "time_ids": jnp.asarray([[16, 16, 0, 0, 16, 16]], jnp.float32),
+    }
+    st2, metrics = step(st, batch, jax.random.PRNGKey(4))
+    # warmup LR is 0 at step 0; take a second step so AdamW moves
+    st2, metrics = step(st2, batch, jax.random.PRNGKey(5))
+    assert np.isfinite(float(metrics["loss"]))
+
+    changed_trainable = 0
+    before = jax.tree_util.tree_leaves(params)
+    after = jax.tree_util.tree_leaves(st2.params)
+    masks = jax.tree_util.tree_leaves(mask)
+    for b, a, m in zip(before, after, masks):
+        if m:
+            changed_trainable += int(not np.array_equal(np.asarray(b),
+                                                        np.asarray(a)))
+        else:
+            np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    assert changed_trainable > 0

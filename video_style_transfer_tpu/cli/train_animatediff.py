@@ -127,7 +127,8 @@ def main(argv=None):
                                 max_grad_norm=args.max_grad_norm)
     sched = make_schedule()
     step_fn = jax.jit(stage2.make_train_step(
-        bundle.unet_cfg, sched, opt, pairs, lambda_orth=args.lambda_orth,
+        bundle.unet_cfg, sched, opt, pairs, mask=mask,
+        lambda_orth=args.lambda_orth,
         prediction_type=args.prediction_type, lora_state=lora_state,
         remat=not args.smoke))
     state = stage2.init_state(params, opt)

@@ -55,9 +55,12 @@ def sdpa(q, k, v, *, impl: str = "auto"):
         seq_q, seq_k = q.shape[1], k.shape[1]
         head_dim = q.shape[-1]
         on_tpu = jax.default_backend() == "tpu"
-        if (on_tpu and seq_q >= _FLASH_MIN_SEQ and seq_k >= _FLASH_MIN_SEQ
+        if (on_tpu and seq_q >= _FLASH_MIN_SEQ
                 and head_dim % 64 == 0 and head_dim <= 512):
-            # covers UNet spatial attention (d=64) AND the VAE mid-block
+            # covers UNet spatial self-attention (d=64), cross-attention
+            # (kv=77 — the kernel masks the ragged kv tail, and the
+            # packed-heads form reads BSHD directly, avoiding the XLA
+            # path's materialized swapaxes), AND the VAE mid-block
             # attention (1 head, d=512, seq 16384 at 1024^2 — the XLA
             # path would materialize a 1 GB logits tensor per frame)
             impl = "pallas"

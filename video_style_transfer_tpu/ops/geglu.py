@@ -115,27 +115,61 @@ def _geglu_fwd(x2d, w, b, inner, block_m, block_i):
     return out, (x2d, w, b)
 
 
-def _geglu_bwd(inner, block_m, block_i, res, g):
+def _geglu_bwd(inner, block_m, block_i, res, g_out):
+    """Manual backward: the jax.vjp(_reference) form materialized f32
+    (M, inner) intermediates (640 MB each at the motion-FF level-0
+    training shape) that, with fragmentation, pushed the full-scale
+    stage-2 step over HBM. Here every tensor crossing a matmul boundary
+    is activation-dtype; the f32 gelu'/pdf math stays inside one
+    elementwise fusion. d/dz[z*phi(z)] = phi(z) + z*pdf(z)."""
+    import math as _math
     x2d, w, b = res
-    _, vjp = jax.vjp(_reference, x2d, w, b)
-    return vjp(g)
+    dt = x2d.dtype
+    wh = w[:, :inner].astype(dt)
+    wg = w[:, inner:].astype(dt)
+    yh = jnp.dot(x2d, wh) + b[:inner].astype(dt)
+    yg = jnp.dot(x2d, wg) + b[inner:].astype(dt)
+    ygf = yg.astype(jnp.float32)
+    phi = 0.5 * (1.0 + jax.lax.erf(ygf * (2.0 ** -0.5)))
+    pdf = (1.0 / _math.sqrt(2.0 * _math.pi)) * jnp.exp(-0.5 * ygf * ygf)
+    dyh = (g_out.astype(jnp.float32) * (ygf * phi)).astype(dt)
+    dyg = (g_out.astype(jnp.float32) * yh.astype(jnp.float32)
+           * (phi + ygf * pdf)).astype(dt)
+    dx = jnp.dot(dyh, wh.T) + jnp.dot(dyg, wg.T)
+    dw = jnp.concatenate([x2d.T @ dyh, x2d.T @ dyg],
+                         axis=1).astype(w.dtype)
+    db = jnp.concatenate([dyh.sum(0), dyg.sum(0)]).astype(b.dtype)
+    return dx, dw, db
 
 
 _geglu.defvjp(_geglu_fwd, _geglu_bwd)
 
 
+def _pick_block_i(inner: int, cap: int) -> int:
+    """Largest 128-multiple divisor of inner that fits the cap (0 if
+    none). inner=1280 -> 256 at cap 512; 2560/5120 -> 512."""
+    best = 0
+    d = 128
+    while d <= min(cap, inner):
+        if inner % d == 0:
+            best = d
+        d += 128
+    return best
+
+
 def geglu_projection(x, w, b, *, block_m: int = 512, block_i: int = 512):
     """x: (..., C); w: (C, 2*inner); b: (2*inner,). Returns
     (..., inner) = h * gelu(g) with [h|g] = x@w + b. Falls back to the
-    XLA form when shapes don't tile (tiny test configs)."""
+    XLA form when shapes don't tile (tiny test configs). C needs no
+    alignment — the x/W blocks span the full C dim."""
     c = x.shape[-1]
     inner = w.shape[1] // 2
     lead = x.shape[:-1]
     x2d = x.reshape(-1, c)
     m = x2d.shape[0]
-    if (inner % 128 != 0 or c % 128 != 0 or m % 8 != 0
-            or inner % min(block_i, inner) != 0):
+    bi = _pick_block_i(inner, block_i)
+    if bi == 0 or m % 8 != 0:
         out = _reference(x2d, w.astype(x2d.dtype), b)
     else:
-        out = _geglu(x2d, w, b, inner, block_m, block_i)
+        out = _geglu(x2d, w, b, inner, block_m, bi)
     return out.reshape(lead + (inner,))

@@ -9,9 +9,9 @@ UnZipLoRA spatial weights and trainable temporal LoRA A/B (+ motion norms,
 
 TPU design: the train step is one jit program; the (B*F) row axis shards
 over the ('data','frame') mesh; gradients for the tiny LoRA tree psum
-automatically via sharding. Freezing is optax.masked, not
-requires_grad mutation (reference freeze_spatial_layers,
-animatediff/utils.py:66-95).
+automatically via sharding. Freezing is optax.multi_transform +
+set_to_zero and a trainable-leaves-only backward, not requires_grad
+mutation (reference freeze_spatial_layers, animatediff/utils.py:66-95).
 """
 from __future__ import annotations
 
@@ -67,14 +67,21 @@ def make_optimizer(mask, *, lr: float = 2e-5, total_steps: int = 1000,
                    warmup: int = 100, weight_decay: float = 1e-2,
                    max_grad_norm: float = 0.5):
     """AdamW + cosine decay with warmup + clip 0.5 (reference
-    train_animatediff.sh:36,40-41; clip train_animatediff.py:316)."""
+    train_animatediff.sh:36,40-41; clip train_animatediff.py:316).
+
+    Freezing uses multi_transform + set_to_zero like stage 1 — NOT
+    optax.masked, which passes un-masked leaves' updates through
+    UNCHANGED, i.e. frozen params would drift by their raw gradients
+    (verified empirically on this optax)."""
     sched = optax.warmup_cosine_decay_schedule(
         0.0, lr, warmup, max(total_steps, warmup + 1))
     tx = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.adamw(sched, weight_decay=weight_decay),
     )
-    return optax.masked(tx, mask)
+    labels = jax.tree.map(lambda m: "train" if m else "frozen", mask)
+    return optax.multi_transform(
+        {"train": tx, "frozen": optax.set_to_zero()}, labels)
 
 
 def stage2_loss(params, unet_cfg: UNetConfig, sched, batch, key, *,
@@ -134,19 +141,55 @@ def stage2_loss(params, unet_cfg: UNetConfig, sched, batch, key, *,
 def make_train_step(unet_cfg: UNetConfig, sched, optimizer, pairs, *,
                     lambda_orth: float = 1e-4,
                     prediction_type: str = "epsilon", mode: str = "both",
-                    lora_state=None, impl: str = "auto", remat: bool = True):
+                    lora_state=None, impl: str = "auto", remat: bool = True,
+                    mask=None):
     """Returns step(state, batch, key) -> (state, metrics). jit outside
-    (optionally under a mesh with batch rows sharded)."""
+    (optionally under a mesh with batch rows sharded).
+
+    When ``mask`` (the trainable_mask pytree) is given, the backward is
+    taken w.r.t. the trainable leaves ONLY — frozen leaves are
+    stop-gradiented and their gradient buffers never exist (the full
+    frozen-gradient tree is ~5.9 GB for the SDXL motion UNet, which
+    alone decided whether the 8f@1024 step fits a 16 GB chip)."""
 
     def step(state: Stage2State, batch, key):
-        (loss, aux), grads = jax.value_and_grad(
-            stage2_loss, has_aux=True)(
-                state.params, unet_cfg, sched, batch, key, pairs=pairs,
-                lambda_orth=lambda_orth, prediction_type=prediction_type,
-                mode=mode, state=lora_state, impl=impl, remat=remat)
+        params = state.params
+
+        if mask is None:
+            (loss, aux), grads = jax.value_and_grad(
+                stage2_loss, has_aux=True)(
+                    params, unet_cfg, sched, batch, key, pairs=pairs,
+                    lambda_orth=lambda_orth,
+                    prediction_type=prediction_type,
+                    mode=mode, state=lora_state, impl=impl, remat=remat)
+        else:
+            leaves, treedef = jax.tree_util.tree_flatten(params)
+            mleaves = jax.tree_util.tree_leaves(mask)
+            train_leaves = [l for l, m in zip(leaves, mleaves) if m]
+
+            def loss_fn(train_list):
+                it = iter(train_list)
+                full = [next(it) if m else jax.lax.stop_gradient(l)
+                        for l, m in zip(leaves, mleaves)]
+                p = jax.tree_util.tree_unflatten(treedef, full)
+                return stage2_loss(
+                    p, unet_cfg, sched, batch, key, pairs=pairs,
+                    lambda_orth=lambda_orth,
+                    prediction_type=prediction_type,
+                    mode=mode, state=lora_state, impl=impl, remat=remat)
+
+            (loss, aux), gtrain = jax.value_and_grad(
+                loss_fn, has_aux=True)(train_leaves)
+            it = iter(gtrain)
+            # frozen grads are symbolic zeros: set_to_zero never reads
+            # them and x+0 folds, so no 5.9 GB tree materializes
+            gfull = [next(it) if m else jnp.zeros_like(l)
+                     for l, m in zip(leaves, mleaves)]
+            grads = jax.tree_util.tree_unflatten(treedef, gfull)
+
         updates, opt_state = optimizer.update(grads, state.opt_state,
-                                              state.params)
-        params = optax.apply_updates(state.params, updates)
+                                              params)
+        params = optax.apply_updates(params, updates)
         metrics = {"loss": loss, **aux}
         return Stage2State(params, opt_state, state.step + 1), metrics
 
