@@ -26,7 +26,8 @@ def test_stage1_data_parallel_matches_single():
     opt = stage1.make_optimizer(params, total_steps=4)
     sched = make_schedule(num_train_timesteps=50)
     step = stage1.make_train_step(cfg, sched, opt, sep_cfg=sep,
-                                  assignments=assignments, remat=False)
+                                  assignments=assignments, remat=False,
+                                  mask=stage1.trainable_mask(params))
 
     b = 8
     ks = jax.random.split(jax.random.PRNGKey(9), 6)

@@ -239,6 +239,7 @@ def main(argv=None):
     sched = make_schedule()
     step_fn = jax.jit(stage1.make_train_step(
         bundle.unet_cfg, sched, opt, sep_cfg=sep, assignments=assignments,
+        mask=stage1.trainable_mask(params),
         similarity_lambda=args.similarity_lambda,
         prior_weight=args.prior_loss_weight,
         prior_weight_2=args.prior_loss_weight_2, remat=not args.smoke))

@@ -353,22 +353,55 @@ def lora_proj_paths(params):
             for proj in PROJS if "lora" in tree_get(params, p)[proj]]
 
 
+def trainable_mask(params):
+    """True for every LoRA leaf (content/style branches + mergers) —
+    the param_labels 'frozen' complement."""
+    return jax.tree.map(lambda lbl: lbl != "frozen", param_labels(params))
+
+
 def make_train_step(unet_cfg: UNetConfig, sched, optimizer, *,
                     sep_cfg: ColumnSepConfig, assignments: Dict,
                     similarity_lambda: float = 0.5,
                     prior_weight: float = 0.0, prior_weight_2: float = 0.0,
-                    impl: str = "auto", remat: bool = True):
+                    impl: str = "auto", remat: bool = True, mask=None):
+    """When ``mask`` (trainable_mask) is given, the backward runs
+    w.r.t. the LoRA leaves only: frozen leaves are stop-gradiented so
+    the full-SDXL frozen-gradient tree (~5.2 GB bf16, ~10.4 GB for the
+    reference's fp32 stage-1 recipe) never materializes. Frozen grads
+    re-enter the optimizer as symbolic zeros, which set_to_zero ignores
+    and XLA folds."""
     def step_fn(state: Stage1State, batch, key):
         paths = list(assignments.keys())
 
-        (loss, aux), grads = jax.value_and_grad(
-            stage1_loss, has_aux=True)(
-                state.params, unet_cfg, sched, batch, key,
+        def _loss(p):
+            return stage1_loss(
+                p, unet_cfg, sched, batch, key,
                 lora_state=state.lora_state, lora_paths=paths,
                 orth_on=state.orth_on,
                 similarity_lambda=similarity_lambda,
                 prior_weight=prior_weight, prior_weight_2=prior_weight_2,
                 impl=impl, remat=remat)
+
+        if mask is None:
+            (loss, aux), grads = jax.value_and_grad(
+                _loss, has_aux=True)(state.params)
+        else:
+            leaves, treedef = jax.tree_util.tree_flatten(state.params)
+            mleaves = jax.tree_util.tree_leaves(mask)
+            train_leaves = [l for l, m in zip(leaves, mleaves) if m]
+
+            def loss_fn(train_list):
+                it = iter(train_list)
+                full = [next(it) if m else jax.lax.stop_gradient(l)
+                        for l, m in zip(leaves, mleaves)]
+                return _loss(jax.tree_util.tree_unflatten(treedef, full))
+
+            (loss, aux), gtrain = jax.value_and_grad(
+                loss_fn, has_aux=True)(train_leaves)
+            it = iter(gtrain)
+            gfull = [next(it) if m else jnp.zeros_like(l)
+                     for l, m in zip(leaves, mleaves)]
+            grads = jax.tree_util.tree_unflatten(treedef, gfull)
 
         if sep_cfg.enabled:
             new_lora_state, gates, ph = column_sep_update(
