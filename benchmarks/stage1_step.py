@@ -36,7 +36,10 @@ def main():
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--dtype", default="bfloat16",
-                    choices=["bfloat16", "float32"])
+                    choices=["bfloat16", "float32", "mixed"],
+                    help="mixed = bf16 frozen base + fp32 LoRA storage "
+                         "(full-fp32 params are 11.7 GB and exceed one "
+                         "chip's HBM; LoRA math is fp32 in all modes)")
     ap.add_argument("--no_remat", action="store_true")
     args = ap.parse_args()
 
@@ -54,14 +57,16 @@ def main():
     from video_style_transfer_tpu.training import stage1
 
     cfg = (UNetConfig.tiny() if args.tiny else UNetConfig.sdxl())
-    dt = jnp.dtype(args.dtype)
+    mixed = args.dtype == "mixed"
+    dt = jnp.bfloat16 if mixed else jnp.dtype(args.dtype)
+    lora_dt = jnp.float32 if mixed else dt
     res = 16 if args.tiny else args.res
     vsf = 2 if args.tiny else 8
     rank = 4 if args.tiny else 64
 
     def build(key):
         p = init_unet(key, cfg, dtype=dt)
-        return insert_unziplora(p, key, rank=rank, dtype=dt)
+        return insert_unziplora(p, key, rank=rank, dtype=lora_dt)
 
     params, lora_state = _zeros_init(build, jax.random.PRNGKey(0))
 
