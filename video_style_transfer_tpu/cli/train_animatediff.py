@@ -114,6 +114,9 @@ def main(argv=None):
             return ds.sample_batch(args.train_batch_size, seed)
 
     emb, pooled = common.encode_prompt(bundle, args.prompt)
+    # empty-prompt encodings for the CFG-dropout swap (the reference
+    # substitutes these, not zeros, train_animatediff.py:248-254)
+    uemb, upooled = common.encode_prompt(bundle, "")
 
     # ---- trainer -------------------------------------------------------
     max_steps = args.smoke_steps or args.max_train_steps
@@ -157,6 +160,8 @@ def main(argv=None):
             "latents": latents.reshape(b, f, lh, lh, 4),
             "ctx": jnp.repeat(emb, b, axis=0),
             "pooled": jnp.repeat(pooled, b, axis=0),
+            "uncond_ctx": jnp.repeat(uemb, b, axis=0),
+            "uncond_pooled": jnp.repeat(upooled, b, axis=0),
             "time_ids": jnp.tile(
                 jnp.asarray([[res, res, 0, 0, res, res]], jnp.float32),
                 (b, 1)),

@@ -17,7 +17,9 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------------
 
 def _kaiming_uniform(key, shape, fan_in, dtype):
-    bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
+    # torch Linear/Conv2d default: kaiming_uniform_(a=sqrt(5)) ->
+    # gain = sqrt(1/3), bound = gain*sqrt(3/fan_in) = 1/sqrt(fan_in)
+    bound = math.sqrt(1.0 / fan_in)
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 

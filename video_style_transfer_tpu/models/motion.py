@@ -86,7 +86,7 @@ def _temporal_attention(p, x, *, heads: int, impl: str = "auto"):
     return jnp.stack([_out_proj(p["to_out"], o) for o in os_], axis=0)
 
 
-def motion_block(p, x, *, heads: int, state=None, impl: str = "auto"):
+def motion_block(p, x, *, heads: int, impl: str = "auto"):
     """x: (F, N, C) — self-attention across the frame axis."""
     h = layers.layer_norm(p["norm1"], x)
     x = x + _temporal_attention(p["attn1"], h, heads=heads, impl=impl)

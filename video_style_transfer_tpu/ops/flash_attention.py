@@ -34,10 +34,9 @@ from jax.experimental.pallas import tpu as pltpu
 #   512/512: 23 TF/s, 512/1024: 38 TF/s, 1024/1024: 38 TF/s (XLA: 8 TF/s)
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 1024
+from video_style_transfer_tpu.ops.common import LOG2E, should_interpret
+
 NEG_INF = -1e30
-LOG2E = 1.4426950408889634  # exp(x) == exp2(x * LOG2E); exp2 is the
-# VPU-native transcendental, so all softmax math runs in base 2 and the
-# log-sum-exp converts back to natural log only at the boundary
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
@@ -100,10 +99,7 @@ def _flash_fwd_bhsd(q, k, v, *, scale: float, block_q: int, block_k: int,
                     interpret: bool = None):
     """q: (BH, Sq, D); k/v: (BH, Sk, D) -> (BH, Sq, D)."""
     if interpret is None:
-        # interpreter mode lets the CPU test mesh exercise the kernel
-        import os
-        interpret = jax.default_backend() != "tpu" or \
-            os.environ.get("VST_FLASH_INTERPRET") == "1"
+        interpret = should_interpret()
     bh, sq, d = q.shape
     sk = k.shape[1]
     block_q = min(block_q, sq)
@@ -220,9 +216,7 @@ def _flash_fwd_bs_hd(q, k, v, *, num_heads: int, scale: float,
     """q: (B, Sq, H*D); k/v: (B, Sk, H*D) -> ((B, Sq, H*D) out,
     (B, H, Sq) lse). Heads are packed 128//D per block."""
     if interpret is None:
-        import os
-        interpret = jax.default_backend() != "tpu" or \
-            os.environ.get("VST_FLASH_INTERPRET") == "1"
+        interpret = should_interpret()
     b, sq, hd = q.shape
     sk = k.shape[1]
     d = hd // num_heads
@@ -332,8 +326,15 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         q_ref[0], k_ref[0], v_ref[0], do_ref[0], lse_ref[0, 0],
         delta_ref[0, 0], scale=scale, kv_seq=kv_seq, block_k=block_k,
         q_seq=q_seq, block_q=block_q, i=i, j=j)
+    k_blk = k_ref[0]
+    if kv_seq % block_k != 0:
+        # ds is zero in padded kv columns, but 0 * uninitialized-k may
+        # be NaN — the contraction must see masked k rows too
+        kv_tail = kv_seq - j * block_k
+        rowk = jax.lax.broadcasted_iota(jnp.int32, k_blk.shape, 0)
+        k_blk = jnp.where(rowk < kv_tail, k_blk, 0)
     acc_ref[:] += jax.lax.dot_general(
-        ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+        ds.astype(k_ref.dtype), k_blk, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(j == nk - 1)
@@ -381,9 +382,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref,
 def _flash_bwd_bhsd(q, k, v, do, o, lse, *, scale, block_q, block_k,
                     interpret=None):
     if interpret is None:
-        import os
-        interpret = jax.default_backend() != "tpu" or \
-            os.environ.get("VST_FLASH_INTERPRET") == "1"
+        interpret = should_interpret()
     bh, sq, d = q.shape
     sk = k.shape[1]
     block_q = min(block_q, sq)
@@ -479,7 +478,11 @@ def _pack_of(d: int) -> int:
 
 
 def _packable(h: int, d: int) -> bool:
-    return d % 64 == 0 and d <= 512 and h % _pack_of(d) == 0
+    pack = _pack_of(d)
+    # lane group = pack*d must tile the 128-wide registers: d=64 packs
+    # two heads, d in {128,256,384,512} runs one head per block; d=192
+    # etc. would trip the kernel's tiling assert — use the BHSD path
+    return (d * pack) % 128 == 0 and d <= 512 and h % pack == 0
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))

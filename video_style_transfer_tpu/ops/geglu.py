@@ -63,14 +63,14 @@ def _kernel(x_ref, wh_ref, wg_ref, bh_ref, bg_ref, o_ref):
 def _fwd_call(x2d, w, b, *, inner: int, block_m: int, block_i: int,
               interpret=None):
     if interpret is None:
-        import os
-        interpret = jax.default_backend() != "tpu" or \
-            os.environ.get("VST_FLASH_INTERPRET") == "1"
+        from video_style_transfer_tpu.ops.common import should_interpret
+        interpret = should_interpret()
     m, c = x2d.shape
     bm = min(block_m, m)
     bi = min(block_i, inner)
-    grid = (pl.cdiv(m, bm), pl.cdiv(inner, bi))
-    nb_i = inner // bi if inner % bi == 0 else pl.cdiv(inner, bi)
+    assert inner % bi == 0, (inner, bi)  # gate-half index offset below
+    grid = (pl.cdiv(m, bm), inner // bi)
+    nb_i = inner // bi
     return pl.pallas_call(
         _kernel,
         grid=grid,

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LOG2E = 1.4426950408889634
+from video_style_transfer_tpu.ops.common import LOG2E, should_interpret
 
 
 def _kernel(*refs, num_frames: int, scale: float):
@@ -86,9 +86,7 @@ def _reference_stacked(q, k, v, *, num_heads: int, scale: float):
 def _fwd_kernel_call(qs, ks, vs, *, num_heads: int, scale: float,
                      block_n: int, interpret=None):
     if interpret is None:
-        import os
-        interpret = jax.default_backend() != "tpu" or \
-            os.environ.get("VST_FLASH_INTERPRET") == "1"
+        interpret = should_interpret()
     f_ = len(qs)
     p_, n_ = qs[0].shape
     d = p_ // num_heads

@@ -108,12 +108,23 @@ def stage2_loss(params, unet_cfg: UNetConfig, sched, batch, key, *,
     noise_rows = noise.reshape(b * f, *latents.shape[2:])
     noisy = add_noise(sched, rows, noise_rows, t_rows)
 
-    # 10% CFG prompt dropout (reference :248-254)
+    # 10% CFG prompt dropout (reference train_animatediff.py:248-254):
+    # the reference swaps BOTH encoder_hidden_states AND the pooled
+    # embeds to the empty-prompt encodings. Batches may carry
+    # 'uncond_ctx'/'uncond_pooled' (the encoded "" prompt, what
+    # inference-time CFG uses); zeros are the fallback. The reference
+    # draws one Bernoulli per optimizer step; per-example is the B>1
+    # generalization (identical at the reference's B=1).
     drop = jax.random.bernoulli(k_d, cfg_dropout, (b, 1, 1))
-    ctx = jnp.where(drop, 0.0, batch["ctx"])
+    uncond_ctx = batch.get("uncond_ctx",
+                           jnp.zeros_like(batch["ctx"]))
+    uncond_pooled = batch.get("uncond_pooled",
+                              jnp.zeros_like(batch["pooled"]))
+    ctx = jnp.where(drop, uncond_ctx, batch["ctx"])
+    pooled = jnp.where(drop[:, :, 0], uncond_pooled, batch["pooled"])
 
     pred = unet_apply(params, unet_cfg, noisy, t, (ctx, None, None),
-                      batch["pooled"], batch["time_ids"], mode=mode,
+                      pooled, batch["time_ids"], mode=mode,
                       state=state, num_frames=f, impl=impl, remat=remat)
 
     if prediction_type == "v_prediction":
