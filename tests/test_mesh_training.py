@@ -152,3 +152,57 @@ def test_stage2_frozen_params_do_not_drift():
         else:
             np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
     assert changed_trainable > 0
+
+
+def test_stage2_cfg_dropout_swaps_ctx_and_pooled():
+    """cfg_dropout=1.0 must reproduce the loss computed directly with the
+    uncond embeddings (the reference swaps BOTH encoder_hidden_states and
+    pooled_embeds to the empty-prompt encodings,
+    train_animatediff.py:248-254)."""
+    import numpy as np
+    from video_style_transfer_tpu.config import UNetConfig
+    from video_style_transfer_tpu.lora.surgery import insert_temporal_lora
+    from video_style_transfer_tpu.models.unet import init_unet
+    from video_style_transfer_tpu.schedulers.ddpm import make_schedule
+    from video_style_transfer_tpu.training import stage2
+
+    cfg = UNetConfig.tiny(use_motion_modules=True)
+    key = jax.random.PRNGKey(0)
+    params = insert_temporal_lora(init_unet(key, cfg), key, rank=2)
+    sched = make_schedule()
+    xdim = cfg.cross_attention_dim
+    pooled_dim = (cfg.projection_class_embeddings_input_dim
+                  - 6 * cfg.addition_time_embed_dim)
+    ks = jax.random.split(jax.random.PRNGKey(1), 5)
+    base = {
+        "latents": jax.random.normal(ks[0], (1, 2, 8, 8, 4)),
+        "ctx": jax.random.normal(ks[1], (1, 7, xdim)),
+        "pooled": jax.random.normal(ks[2], (1, pooled_dim)),
+        "time_ids": jnp.asarray([[16, 16, 0, 0, 16, 16]], jnp.float32),
+        "uncond_ctx": jax.random.normal(ks[3], (1, 7, xdim)),
+        "uncond_pooled": jax.random.normal(ks[4], (1, pooled_dim)),
+    }
+    lkey = jax.random.PRNGKey(7)
+
+    loss_dropped, _ = stage2.stage2_loss(
+        params, cfg, sched, base, lkey, pairs=[], lambda_orth=0.0,
+        cfg_dropout=1.0, remat=False)
+    swapped = dict(base, ctx=base["uncond_ctx"],
+                   pooled=base["uncond_pooled"])
+    loss_direct, _ = stage2.stage2_loss(
+        params, cfg, sched, swapped, lkey, pairs=[], lambda_orth=0.0,
+        cfg_dropout=0.0, remat=False)
+    np.testing.assert_allclose(float(loss_dropped), float(loss_direct),
+                               rtol=1e-5)
+
+    # dropout 0 must ignore the uncond entries entirely
+    loss_keep, _ = stage2.stage2_loss(
+        params, cfg, sched, base, lkey, pairs=[], lambda_orth=0.0,
+        cfg_dropout=0.0, remat=False)
+    no_uncond = {k: v for k, v in base.items()
+                 if not k.startswith("uncond")}
+    loss_plain, _ = stage2.stage2_loss(
+        params, cfg, sched, no_uncond, lkey, pairs=[], lambda_orth=0.0,
+        cfg_dropout=0.0, remat=False)
+    np.testing.assert_allclose(float(loss_keep), float(loss_plain),
+                               rtol=1e-6)
