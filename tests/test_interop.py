@@ -162,3 +162,46 @@ def test_load_sdxl_missing_dir(tmp_path):
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
         hf_convert.load_sdxl(str(tmp_path))
+
+
+def test_export_state_dicts_matches_export_weights():
+    """Drift guard: interop.export_state_dicts re-implements the
+    mask-or-merger gate fold of unzip.export_weights (reference
+    get_unziplora_weight, unziplora_linear_layer.py:104-115); the two
+    must stay numerically identical per layer."""
+    import numpy as np
+    from video_style_transfer_tpu.config import UNetConfig
+    from video_style_transfer_tpu.lora import interop
+    from video_style_transfer_tpu.lora.surgery import (
+        insert_unziplora, tree_get)
+    from video_style_transfer_tpu.lora.unzip import export_weights
+    from video_style_transfer_tpu.models.unet import init_unet
+
+    cfg = UNetConfig.tiny()
+    key = jax.random.PRNGKey(3)
+    params, state = insert_unziplora(init_unet(key, cfg), key, rank=2)
+
+    # flip one layer's mask filter on so both gate branches are covered
+    first = next(iter(interop.iter_layer_modules(params)))
+    path, proj, _, _ = first
+    st_entry = tree_get(state, path + (proj,))
+    st_entry["use_mask_content"] = st_entry["use_mask_content"].at[0].set(
+        True)
+
+    for branch in ("content", "style"):
+        lora_sd, merger_sd = interop.export_state_dicts(
+            params, state, branch)
+        for path, proj, k, name in interop.iter_layer_modules(params):
+            p = tree_get(params, path)[proj]
+            if "lora" not in p:
+                continue
+            layer_params = jax.tree.map(lambda a: a[k], p["lora"])
+            layer_state = jax.tree.map(
+                lambda a: a[k], tree_get(state, path + (proj,)))
+            down, up = export_weights(layer_params, layer_state, branch)
+            np.testing.assert_allclose(
+                lora_sd[f"unet.{name}.lora.down.weight"],
+                np.asarray(down, np.float32), rtol=1e-6)
+            np.testing.assert_allclose(
+                lora_sd[f"unet.{name}.lora.up.weight"],
+                np.asarray(up, np.float32), rtol=1e-6)

@@ -100,8 +100,18 @@ def import_state_dicts(params, content_sd: Dict, style_sd: Dict,
         cd = content_sd.get(f"unet.{name}.lora.down.weight")
         su = style_sd.get(f"unet.{name}.lora.up.weight")
         sd_ = style_sd.get(f"unet.{name}.lora.down.weight")
-        if cu is None or su is None:
+        present = [x is not None for x in (cu, cd, su, sd_)]
+        if not any(present):
             continue
+        if not all(present):
+            # a partial artifact (up without down, or one branch only)
+            # would otherwise either crash on asarray(None) or silently
+            # shift later layers down the stack
+            raise ValueError(
+                f"incomplete LoRA artifact for {name}: up/down must be "
+                f"present in BOTH branch dicts (got content up/down="
+                f"{present[0]}/{present[1]}, style={present[2]}/"
+                f"{present[3]})")
         mc = (merger_content or {}).get(f"unet.{name}.lora.merge_content")
         ms = (merger_style or {}).get(f"unet.{name}.lora.merge_style")
         ent = staged.setdefault(path + (proj,), {
@@ -119,6 +129,14 @@ def import_state_dicts(params, content_sd: Dict, style_sd: Dict,
     state: Dict = {}
     new_params = params
     for ppath, ent in staged.items():
+        # contiguity: the staged layer count must equal the base stack's
+        # depth — a layer present in the dicts for k but missing for k' < k
+        # would silently shift weights down the stacked axis
+        base_depth = tree_get(params, ppath)["kernel"].shape[0]
+        if len(ent["cu"]) != base_depth:
+            raise ValueError(
+                f"LoRA artifact covers {len(ent['cu'])} of "
+                f"{base_depth} layers for stack {ppath}")
         lora = {
             "content": {"down": jnp.asarray(np.stack(ent["cd"]), dtype),
                         "up": jnp.asarray(np.stack(ent["cu"]), dtype)},

@@ -370,7 +370,9 @@ def set_branch_gates(state, off_paths: set, branch: str):
     def fn(path, entry):
         if path in off_paths:
             e = dict(entry)
-            e[f"on_{branch}"] = jnp.asarray(False)
+            # preserve the stacked (n_layers,) leaf shape — a 0-d write
+            # breaks the lax.scan over layer-stacked state trees
+            e[f"on_{branch}"] = jnp.zeros_like(entry[f"on_{branch}"])
             return e
         return entry
     return map_lora_state(state, fn)

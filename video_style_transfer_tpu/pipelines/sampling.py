@@ -29,16 +29,24 @@ class Conditioning(NamedTuple):
 
 def _cat_cond(uncond: Conditioning, cond: Conditioning) -> Conditioning:
     def cat(a, b):
-        if a is None and b is None:
-            return None
-        if a is None:
-            a = b
-        if b is None:
-            b = a
         return jnp.concatenate([a, b], axis=0)
 
+    def cat_ctx(i):
+        a, b = uncond.ctx[i], cond.ctx[i]
+        if a is None and b is None:
+            return None
+        # a None content/style stream means "fall back to that side's
+        # combined prompt" (attention()'s convention) — resolve per
+        # side BEFORE concatenating; substituting the other side's
+        # embedding would leak cond<->uncond prompts across the pair
+        if a is None:
+            a = uncond.ctx[0]
+        if b is None:
+            b = cond.ctx[0]
+        return cat(a, b)
+
     return Conditioning(
-        ctx=tuple(cat(a, b) for a, b in zip(uncond.ctx, cond.ctx)),
+        ctx=tuple(cat_ctx(i) for i in range(len(uncond.ctx))),
         pooled=cat(uncond.pooled, cond.pooled),
         time_ids=cat(uncond.time_ids, cond.time_ids),
     )

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -49,7 +51,15 @@ def decode_video(vae_params, vae_cfg, latents, *, chunk: int = 4):
     f = latents.shape[0]
     if chunk >= f:
         return decode_images(vae_params, vae_cfg, latents)
-    assert f % chunk == 0, (f, chunk)
+    if f % chunk != 0:
+        # ragged frame counts (e.g. 14 frames, chunk 4): fall back to the
+        # largest divisor so a full denoise is never discarded on an
+        # assert after the fact
+        chunk = math.gcd(f, chunk)
+        if chunk == 1:
+            return jax.lax.map(
+                lambda z: decode_images(vae_params, vae_cfg, z[None])[0],
+                latents)
     chunks = latents.reshape(f // chunk, chunk, *latents.shape[1:])
     out = jax.lax.map(
         lambda z: decode_images(vae_params, vae_cfg, z), chunks)

@@ -158,7 +158,7 @@ def stage1_loss(params, unet_cfg: UNetConfig, sched, batch, key, *,
     """
     latents = batch["latents"]
     b = latents.shape[0]
-    keys = jax.random.split(key, 4)
+    keys = jax.random.split(key, 6)
 
     t = jax.random.randint(keys[0], (b,), 0, sched["num_train_timesteps"])
     noise = jax.random.normal(keys[1], latents.shape, latents.dtype)
@@ -179,15 +179,18 @@ def stage1_loss(params, unet_cfg: UNetConfig, sched, batch, key, *,
     aux = {"loss_rec": rec, "loss_sim": sim}
 
     # dual prior preservation: separate forwards in content / style mode
-    for branch, weight in (("content", prior_weight),
-                           ("style", prior_weight_2)):
+    for bi, (branch, weight) in enumerate((("content", prior_weight),
+                                           ("style", prior_weight_2))):
         prior = batch.get(f"prior_{branch}")
         if prior is None or weight == 0.0:
             continue
         pb = prior["latents"].shape[0]
-        pt = jax.random.randint(keys[2], (pb,), 0,
+        # independent (t, noise) draws per prior branch — sharing keys
+        # would evaluate both regularizers at perfectly correlated noise
+        pt = jax.random.randint(keys[2 + 2 * bi], (pb,), 0,
                                 sched["num_train_timesteps"])
-        pnoise = jax.random.normal(keys[3], prior["latents"].shape,
+        pnoise = jax.random.normal(keys[3 + 2 * bi],
+                                   prior["latents"].shape,
                                    prior["latents"].dtype)
         pnoisy = add_noise(sched, prior["latents"], pnoise, pt)
         ppred = unet_apply(params, unet_cfg, pnoisy, pt,
