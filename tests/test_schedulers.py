@@ -139,3 +139,23 @@ def test_default_time_ids():
     ids = np.asarray(default_time_ids(1024, 768, 3))
     assert ids.shape == (3, 6)
     np.testing.assert_array_equal(ids[0], [1024, 768, 0, 0, 1024, 768])
+
+
+def test_velocity_target_under_jit():
+    """Regression: velocity_target indexed the host-numpy schedule table
+    with a traced timestep (TracerArrayConversionError under jit — the
+    v-prediction training branch could never run jitted)."""
+    from video_style_transfer_tpu.schedulers.ddpm import (
+        make_schedule, velocity_target)
+    sched = make_schedule()
+
+    @jax.jit
+    def go(x0, noise, key):
+        t = jax.random.randint(key, (x0.shape[0],), 0,
+                               sched["num_train_timesteps"])
+        return velocity_target(sched, x0, noise, t)
+
+    x0 = jnp.ones((2, 4, 4, 4))
+    v = go(x0, x0 * 0.5, jax.random.PRNGKey(0))
+    assert v.shape == x0.shape
+    assert bool(jnp.all(jnp.isfinite(v)))

@@ -179,12 +179,20 @@ class CLIPTokenizer:
         if isinstance(texts, str):
             texts = [texts]
         max_length = max_length or self.model_max_length
-        out = np.full((len(texts), max_length), self.pad_token_id, np.int32)
-        for i, text in enumerate(texts):
+        rows = []
+        for text in texts:
             ids = self._tokenize(text)
             if truncation:
                 ids = ids[: max_length - 2]
-            row = [self.bos_token_id] + ids + [self.eos_token_id]
+            rows.append([self.bos_token_id] + ids + [self.eos_token_id])
+        width = max_length
+        if padding == "longest" or padding is False or padding == "do_not_pad":
+            width = max(len(r) for r in rows)
+        # truncation=False with an over-long prompt: transformers returns
+        # the long sequence rather than erroring
+        width = max(width, max(len(r) for r in rows))
+        out = np.full((len(rows), width), self.pad_token_id, np.int32)
+        for i, row in enumerate(rows):
             out[i, : len(row)] = row
         return out
 

@@ -17,6 +17,7 @@ def save_video(frames: Sequence[np.ndarray], path: str, *, fps: int = 8,
     """frames: iterable of (H, W, 3) uint8. Returns the path actually
     written (may swap .mp4 -> .gif on fallback)."""
     frames = [np.asarray(f, np.uint8) for f in frames]
+    writer = None
     try:
         import imageio.v2 as imageio
         writer = imageio.get_writer(path, fps=fps, quality=quality,
@@ -26,6 +27,17 @@ def save_video(frames: Sequence[np.ndarray], path: str, *, fps: int = 8,
         writer.close()
         return path
     except Exception:
+        # close the ffmpeg writer and remove any truncated .mp4 so the
+        # GIF fallback doesn't leave a corrupt artifact beside it
+        if writer is not None:
+            try:
+                writer.close()
+            except Exception:
+                pass
+            try:
+                os.remove(path)
+            except OSError:
+                pass
         gif_path = os.path.splitext(path)[0] + ".gif"
         import imageio.v2 as imageio
         imageio.mimsave(gif_path, frames, duration=1.0 / fps)

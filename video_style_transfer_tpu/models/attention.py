@@ -28,16 +28,22 @@ from video_style_transfer_tpu.ops.attention import merge_heads, sdpa, split_head
 def init_attention(key, query_dim: int, *, heads: int,
                    dim_head: Optional[int] = None,
                    cross_attention_dim: Optional[int] = None,
-                   out_bias: bool = True, dtype=jnp.float32):
+                   out_bias: bool = True, qkv_bias: bool = False,
+                   dtype=jnp.float32):
     if dim_head is None:
         dim_head = query_dim // heads
     inner = heads * dim_head
     kv_dim = cross_attention_dim or query_dim
     kq, kk, kv, ko = jax.random.split(key, 4)
+    # UNet attention runs bias-free q/k/v (diffusers default); the VAE
+    # mid-block Attention carries q/k/v biases (diffusers AutoencoderKL)
     return {
-        "to_q": layers.init_linear(kq, query_dim, inner, bias=False, dtype=dtype),
-        "to_k": layers.init_linear(kk, kv_dim, inner, bias=False, dtype=dtype),
-        "to_v": layers.init_linear(kv, kv_dim, inner, bias=False, dtype=dtype),
+        "to_q": layers.init_linear(kq, query_dim, inner, bias=qkv_bias,
+                                   dtype=dtype),
+        "to_k": layers.init_linear(kk, kv_dim, inner, bias=qkv_bias,
+                                   dtype=dtype),
+        "to_v": layers.init_linear(kv, kv_dim, inner, bias=qkv_bias,
+                                   dtype=dtype),
         "to_out": layers.init_linear(ko, inner, query_dim, bias=out_bias,
                                      dtype=dtype),
     }

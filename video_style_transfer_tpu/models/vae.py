@@ -28,19 +28,26 @@ def _init_mid(nxt, c, groups, dtype):
         ],
         "attentions": [{
             "group_norm": layers.init_group_norm(c, dtype),
-            **init_attention(nxt(), c, heads=1, dtype=dtype),
+            **init_attention(nxt(), c, heads=1, qkv_bias=True,
+                             dtype=dtype),
         }],
     }
 
 
+VAE_EPS = 1e-6  # diffusers AutoencoderKL hardcodes 1e-6 in every norm
+
+
 def _mid(p, x, groups):
-    x = resnet_block(p["resnets"][0], x, None, num_groups=groups)
+    x = resnet_block(p["resnets"][0], x, None, num_groups=groups,
+                     eps=VAE_EPS)
     a = p["attentions"][0]
     n, h, w, c = x.shape
-    y = layers.group_norm(a["group_norm"], x, num_groups=groups)
+    y = layers.group_norm(a["group_norm"], x, num_groups=groups,
+                          eps=VAE_EPS)
     y = attention(a, y.reshape(n, h * w, c), None, heads=1, mode="base")
     x = x + y.reshape(n, h, w, c)
-    return resnet_block(p["resnets"][1], x, None, num_groups=groups)
+    return resnet_block(p["resnets"][1], x, None, num_groups=groups,
+                        eps=VAE_EPS)
 
 
 def init_vae(key, cfg: VAEConfig, dtype=jnp.float32):
@@ -105,11 +112,12 @@ def vae_encode_moments(params, cfg: VAEConfig, x):
     h = layers.conv2d(enc["conv_in"], x)
     for block in enc["down_blocks"]:
         for rp in block["resnets"]:
-            h = resnet_block(rp, h, None, num_groups=g)
+            h = resnet_block(rp, h, None, num_groups=g, eps=VAE_EPS)
         if "downsamplers" in block:
             h = downsample(block["downsamplers"][0], h)
     h = _mid(enc["mid_block"], h, g)
-    h = layers.group_norm(enc["conv_norm_out"], h, num_groups=g)
+    h = layers.group_norm(enc["conv_norm_out"], h, num_groups=g,
+                          eps=VAE_EPS)
     h = layers.silu(h)
     h = layers.conv2d(enc["conv_out"], h)
     moments = layers.conv2d(params["quant_conv"], h)
@@ -137,9 +145,10 @@ def vae_decode(params, cfg: VAEConfig, z):
     h = _mid(dec["mid_block"], h, g)
     for block in dec["up_blocks"]:
         for rp in block["resnets"]:
-            h = resnet_block(rp, h, None, num_groups=g)
+            h = resnet_block(rp, h, None, num_groups=g, eps=VAE_EPS)
         if "upsamplers" in block:
             h = upsample(block["upsamplers"][0], h)
-    h = layers.group_norm(dec["conv_norm_out"], h, num_groups=g)
+    h = layers.group_norm(dec["conv_norm_out"], h, num_groups=g,
+                          eps=VAE_EPS)
     h = layers.silu(h)
     return layers.conv2d(dec["conv_out"], h)

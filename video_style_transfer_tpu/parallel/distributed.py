@@ -15,12 +15,16 @@ from typing import Optional
 
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
-                     process_id: Optional[int] = None) -> bool:
+                     process_id: Optional[int] = None,
+                     auto: bool = False) -> bool:
     """Initialize multi-host JAX when environment or args describe a
     multi-process topology; no-op (returns False) for single-host runs.
 
-    On Cloud TPU pods the arguments auto-populate from the metadata
-    server; elsewhere pass them or set JAX_COORDINATOR_ADDRESS /
+    On Cloud TPU pods jax.distributed.initialize() with NO arguments
+    auto-populates from the metadata server — pass ``auto=True`` to
+    request that path (it is not the default because a bare initialize
+    on a non-pod host blocks/raises; single-chip dev boxes must stay a
+    no-op). Elsewhere pass the args or set JAX_COORDINATOR_ADDRESS /
     JAX_NUM_PROCESSES / JAX_PROCESS_ID.
     """
     import jax
@@ -33,6 +37,9 @@ def init_distributed(coordinator_address: Optional[str] = None,
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
     if coordinator_address is None and num_processes in (None, 1):
+        if auto:
+            jax.distributed.initialize()  # pod metadata auto-detection
+            return True
         return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -45,7 +45,10 @@ def add_noise(sched, x0, noise, t):
 def velocity_target(sched, x0, noise, t):
     """v = sqrt(acp) eps - sqrt(1-acp) x0 (v-prediction branch,
     reference train_animatediff.py:288-295)."""
-    acp = sched["alphas_cumprod"][t]
+    # schedule tables are host numpy (CLAUDE.md invariant); index with a
+    # device array so traced timesteps work under jit (add_noise does the
+    # same)
+    acp = jnp.asarray(sched["alphas_cumprod"])[t]
     shape = (-1,) + (1,) * (x0.ndim - 1)
     sqrt_acp = jnp.sqrt(acp).reshape(shape).astype(x0.dtype)
     sqrt_1m = jnp.sqrt(1.0 - acp).reshape(shape).astype(x0.dtype)

@@ -51,8 +51,11 @@ def render_cone_heatmaps(cone_by_layer: Dict[str, np.ndarray],
     import matplotlib.pyplot as plt
 
     n = len(cone_by_layer)
-    fig, axes = plt.subplots(n, 1, figsize=(10, 1.2 * max(n, 1)),
+    fig, axes = plt.subplots(max(n, 1), 1,
+                             figsize=(10, 1.2 * max(n, 1)),
                              squeeze=False)
+    if n == 0:
+        axes[0, 0].axis("off")
     for ax, (name, cone) in zip(axes[:, 0], sorted(cone_by_layer.items())):
         row = cone_column_sparsity(cone)[None, :]
         ax.imshow(row, aspect="auto", cmap="viridis", vmin=0, vmax=1)
