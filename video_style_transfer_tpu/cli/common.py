@@ -45,6 +45,7 @@ class ModelBundle:
     tokenizer_2: Any = None     # pads with 0
     vae_scale_factor: int = 8
     pooled_dim: int = 1280
+    smoke: bool = False
 
 
 def load_models(pretrained_model: Optional[str], *, smoke: bool = False,
@@ -68,6 +69,7 @@ def load_models(pretrained_model: Optional[str], *, smoke: bool = False,
             clip_g_cfg=gcfg,
             vae_scale_factor=2,
             pooled_dim=32,
+            smoke=True,
         )
 
     from video_style_transfer_tpu.data.tokenizer import CLIPTokenizer
@@ -97,11 +99,23 @@ def encode_prompt(bundle: ModelBundle, prompt: str,
     mode (no tokenizer): deterministic pseudo-embeddings from the prompt
     hash."""
     if bundle.tokenizer is None:
-        seed = abs(hash((prompt, prompt_2))) % (2 ** 31)
+        if not bundle.smoke:
+            # a weight-only model dir without tokenizer/ must not fall
+            # through to pseudo-embeddings against REAL weights
+            raise SystemExit(
+                "no tokenizer/ found in the model directory; real-weight "
+                "inference needs the CLIP tokenizers (or pass --smoke)")
+        # stable digest: hash() is salted per process, which would make
+        # smoke runs non-reproducible across invocations
+        import zlib
+        seed = zlib.crc32(repr((prompt, prompt_2)).encode()) % (2 ** 31)
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
         d = bundle.unet_cfg.cross_attention_dim
         return (jax.random.normal(k1, (1, 7, d)),
                 jax.random.normal(k2, (1, bundle.pooled_dim)))
+    if bundle.tokenizer_2 is None:
+        raise SystemExit("tokenizer/ present but tokenizer_2/ missing — "
+                         "SDXL needs both CLIP tokenizers")
     ids_l = jnp.asarray(bundle.tokenizer(prompt))
     ids_g = jnp.asarray(bundle.tokenizer_2(prompt_2 or prompt))
     return encode_sdxl_prompt(bundle.clip_l, bundle.clip_l_cfg,

@@ -35,11 +35,16 @@ def load_frames(path: str) -> np.ndarray:
     return np.stack(frames)
 
 
+# identical frames would give PSNR=inf, which json.dumps serializes as
+# the non-RFC-8259 token `Infinity` — cap at a finite sentinel instead
+PSNR_MAX = 100.0
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
     if mse == 0:
-        return float("inf")
-    return float(10 * np.log10(255.0 ** 2 / mse))
+        return PSNR_MAX
+    return float(min(10 * np.log10(255.0 ** 2 / mse), PSNR_MAX))
 
 
 def ssim(a: np.ndarray, b: np.ndarray, *, c1=(0.01 * 255) ** 2,

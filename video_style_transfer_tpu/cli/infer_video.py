@@ -23,7 +23,8 @@ def build_parser():
     from video_style_transfer_tpu.cli.common import DEFAULT_NEGATIVE_PROMPT
     p.add_argument("--negative_prompt", default=DEFAULT_NEGATIVE_PROMPT)
     p.add_argument("--modes", nargs="+",
-                   default=["both", "content", "style"])
+                   default=["both", "content", "style"],
+                   choices=["both", "content", "style", "base"])
     p.add_argument("--output_dir", default="out/videos")
     p.add_argument("--num_frames", type=int, default=16)
     p.add_argument("--num_inference_steps", type=int, default=30)
@@ -71,9 +72,18 @@ def main(argv=None):
                 base, f"{name}_merger_content.pth")),
             interop.load_merger_pth(os.path.join(
                 base, f"{name}_merger_style.pth")))
-    else:
+    elif args.smoke:
         params, state = insert_unziplora(params, jax.random.PRNGKey(0),
                                          rank=4)
+    else:
+        # init_unzip_lora_params is NOT zero-init (both factors random,
+        # reference parity) — folding random LoRA into real weights
+        # would corrupt every frame. Plain AnimateDiff = --modes base.
+        if any(m != "base" for m in args.modes):
+            raise SystemExit("--unziplora_name_or_path is required for "
+                             "LoRA modes (use --modes base for plain "
+                             "AnimateDiff generation)")
+        state = None
 
 
     cond = common.make_conditioning(bundle, args.prompt, height=res,
@@ -88,9 +98,13 @@ def main(argv=None):
         # video inference feeds ONE shared prompt (the reference's
         # AnimateDiff processor collapses the streams too), so the LoRA
         # folds fully into the base kernels — rank-64 dual-branch matmuls
-        # disappear from the serving path
-        fparams, _ = fold_unziplora(params, state, mode=mode,
-                                    fold_cross_kv=True)
+        # disappear from the serving path. mode 'base' (or no LoRA
+        # loaded) skips folding entirely.
+        if state is None or mode == "base":
+            fparams = params
+        else:
+            fparams, _ = fold_unziplora(params, state, mode=mode,
+                                        fold_cross_kv=True)
         run = jax.jit(lambda p, u, c, key, m=mode: generate_video(
             p, bundle.unet_cfg, bundle.vae, bundle.vae_cfg, u, c,
             key, num_frames=frames, height=res, width=res, num_steps=steps,

@@ -147,10 +147,14 @@ def main(argv=None):
 
     logger = MetricsLogger(args.output_dir)
     timer = StepTimer()
-    rng = jax.random.PRNGKey(args.seed)
     b = args.train_batch_size
 
-    for step in range(int(state.step), max_steps):
+    start = int(state.step)
+    # fold the resume step in so a resumed run doesn't replay the
+    # pre-checkpoint noise/timestep draws
+    rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), start)
+    last_log_step = start
+    for step in range(start, max_steps):
         rng, key = jax.random.split(rng)
         frames = sample_clip(args.seed * 1000 + step)
         latents = common.encode_latents(
@@ -169,7 +173,9 @@ def main(argv=None):
         state, metrics = step_fn(state, batch, key)
         if step % args.log_every == 0 or step == max_steps - 1:
             scalars = {k: float(v) for k, v in metrics.items()}
-            scalars["sec_per_step"] = timer.lap()
+            scalars["sec_per_step"] = timer.lap() / max(
+                step - last_log_step, 1)
+            last_log_step = step
             logger.log(step, scalars)
             print(f"step {step}: loss={scalars['loss']:.4f} "
                   f"mse={scalars['loss_mse']:.4f} "

@@ -20,6 +20,7 @@ Example (reference recipe, original/README.md:43-60):
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import time
 
@@ -137,13 +138,17 @@ def _run_validation(args, bundle, state, res, step):
     for mode, prompt in prompts.items():
         cond = common.make_conditioning(bundle, prompt, prompt, prompt,
                                         height=res, width=res)
-        imgs = generate_images(
-            state.params, bundle.unet_cfg, bundle.vae, bundle.vae_cfg,
-            uncond, cond, _jax.random.PRNGKey(0), height=res, width=res,
-            num_steps=args.validation_steps, mode=mode,
-            state=state.lora_state,
+        # jit the whole generation: generate_images' contract (one scan
+        # program); eager dispatch would pay per-op overhead x num_steps
+        run = _jax.jit(functools.partial(
+            generate_images, unet_cfg=bundle.unet_cfg,
+            vae_params=bundle.vae, vae_cfg=bundle.vae_cfg,
+            height=res, width=res, num_steps=args.validation_steps,
+            mode=mode,
             dtype=jnp.float32 if args.smoke else jnp.bfloat16,
-            vae_scale_factor=bundle.vae_scale_factor)
+            vae_scale_factor=bundle.vae_scale_factor))
+        imgs = run(state.params, uncond=uncond, cond=cond,
+                   key=_jax.random.PRNGKey(0), state=state.lora_state)
         save_image(jax.device_get(imgs[0]),
                    os.path.join(val_dir, f"step{step}_{mode}.png"))
 
@@ -259,13 +264,17 @@ def main(argv=None):
                            use_tensorboard=args.report_to == "tensorboard",
                            use_wandb=args.report_to == "wandb")
     timer = StepTimer()
-    rng = jax.random.PRNGKey(args.seed)
     b = args.train_batch_size
 
     n = latents.shape[0]
     start = int(state.step)
+    # fold the resume step into the key stream: a fresh PRNGKey(seed)
+    # split per iteration would replay the exact pre-checkpoint
+    # noise/timestep/batch draws after a resume
+    rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), start)
+    last_log_step = start
     for step in range(start, max_steps):
-        rng, key, bkey = jax.random.split(rng, 3)
+        rng, key, bkey, pbkey = jax.random.split(rng, 4)
         idx = jax.random.randint(bkey, (b,), 0, n)
         batch = {
             "latents": latents[idx],
@@ -277,9 +286,13 @@ def main(argv=None):
                 jnp.asarray([[res, res, 0, 0, res, res]], jnp.float32),
                 (b, 1)),
         }
-        for branch, prior in priors.items():
+        for bi, (branch, prior) in enumerate(priors.items()):
             pn = prior["latents"].shape[0]
-            pidx = jax.random.randint(bkey, (b,), 0, pn)
+            # independent draw per branch (reusing bkey would pick the
+            # SAME indices as the instance batch whenever pn == n, and
+            # identical class batches for both branches)
+            pidx = jax.random.randint(jax.random.fold_in(pbkey, bi),
+                                      (b,), 0, pn)
             batch[f"prior_{branch}"] = {
                 "latents": prior["latents"][pidx],
                 "ctx": jnp.repeat(prior["ctx"], b, axis=0),
@@ -289,8 +302,9 @@ def main(argv=None):
         state, metrics = step_fn(state, batch, key)
         if step % 10 == 0 or step == max_steps - 1:
             scalars = {k: float(v) for k, v in metrics.items()}
-            scalars["sec_per_step"] = timer.lap() / max(step - start, 1) \
-                if step else timer.lap()
+            scalars["sec_per_step"] = timer.lap() / max(
+                step - last_log_step, 1)
+            last_log_step = step
             # per-block LoRA norms + merger means, the reference's
             # per-step wandb scalars (train_unziplora.py:2224-2254)
             from video_style_transfer_tpu.utils.observability import (
