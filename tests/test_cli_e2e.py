@@ -9,6 +9,7 @@ import pytest
 
 
 @pytest.mark.slow
+@pytest.mark.e2e
 def test_full_pipeline_chain(tmp_path):
     out1 = str(tmp_path / "stage1")
     out2 = str(tmp_path / "stage2")
@@ -47,6 +48,7 @@ def test_full_pipeline_chain(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.e2e
 def test_stage1_resume(tmp_path):
     """Train 4 steps with checkpointing every 2, then resume from latest
     and confirm the step counter continues (the reference's resume flag

@@ -69,6 +69,28 @@ def test_group_norm_parity():
                                want, rtol=RTOL, atol=ATOL)
 
 
+def test_group_norm_large_mean_parity():
+    """Shifted single-pass variance must survive mean^2 >> var (the
+    naive E[x^2]-E[x]^2 form cancelled catastrophically here) at the
+    VAE's eps=1e-6 and realistic activation scales."""
+    rng = np.random.RandomState(7)
+    c, g = 16, 4
+    scale = np.ones(c, np.float32)
+    bias = np.zeros(c, np.float32)
+    # per-channel means up to ~400 with unit-ish variance: mean^2/var ~ 1e5
+    offsets = rng.uniform(-400, 400, size=(1, c, 1, 1)).astype(np.float32)
+    x_nchw = (rng.randn(2, c, 8, 8) * 0.5 + offsets).astype(np.float32)
+    x_nhwc = np.transpose(x_nchw, (0, 2, 3, 1))
+    got = layers.group_norm({"scale": jnp.asarray(scale),
+                             "bias": jnp.asarray(bias)},
+                            jnp.asarray(x_nhwc), num_groups=g, eps=1e-6)
+    want = torch.nn.functional.group_norm(
+        _t(x_nchw.astype(np.float64)), g, _t(scale.astype(np.float64)),
+        _t(bias.astype(np.float64)), eps=1e-6).numpy()
+    np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 3, 1, 2)),
+                               want, rtol=1e-3, atol=1e-3)
+
+
 def test_layer_norm_parity():
     rng = np.random.RandomState(3)
     d = 16
@@ -184,3 +206,73 @@ def test_temporal_positional_encoding_matches_reference_spec():
     want[:, 0::2] = np.sin(position * div)
     want[:, 1::2] = np.cos(position * div)
     np.testing.assert_allclose(got, want[:f], rtol=1e-5, atol=1e-6)
+
+
+def test_motion_module_diffusers_parity():
+    """Full motion module vs a hand-written torch mirror of the
+    diffusers AnimateDiffTransformer3D semantics (the structure the
+    guoyww/animatediff-motion-adapter-sdxl-beta weights load into):
+    frame-pooled GroupNorm (eps 1e-6) -> proj_in -> [norm1 +PE attn1 |
+    norm2 +PE attn2 | norm3 ff] -> proj_out -> residual."""
+    import math
+
+    from video_style_transfer_tpu.models.motion import (
+        init_motion_module, motion_module)
+
+    c, heads, groups, f, b, hh, ww = 32, 4, 8, 4, 2, 4, 4
+    p = init_motion_module(jax.random.PRNGKey(0), c, num_layers=1,
+                           heads=heads, norm_num_groups=groups)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b * f, hh, ww, c))
+    got = motion_module(p, x, num_frames=f, heads=heads,
+                        norm_num_groups=groups)
+
+    x_nchw = _t(x).permute(0, 3, 1, 2)
+    residual = x_nchw
+    hs = x_nchw.reshape(b, f, c, hh, ww).permute(0, 2, 1, 3, 4)
+    hs = torch.nn.functional.group_norm(
+        hs, groups, _t(p["norm"]["scale"]), _t(p["norm"]["bias"]),
+        eps=1e-6)
+    hs = hs.permute(0, 3, 4, 2, 1).reshape(b * hh * ww, f, c)
+    hs = hs @ _t(p["proj_in"]["kernel"]) + _t(p["proj_in"]["bias"])
+
+    blk = jax.tree.map(lambda a: a[0], p["transformer_blocks"])
+    position = torch.arange(32).unsqueeze(1).float()
+    div_term = torch.exp(torch.arange(0, c, 2).float()
+                         * (-math.log(10000.0) / c))
+    pe = torch.zeros(1, 32, c)
+    pe[0, :, 0::2] = torch.sin(position * div_term)
+    pe[0, :, 1::2] = torch.cos(position * div_term)
+    pe = pe[:, :f]
+
+    def ln(h_, q):
+        return torch.nn.functional.layer_norm(
+            h_, (c,), _t(q["scale"]), _t(q["bias"]))
+
+    def attn(h_, q):
+        qq, kk, vv = (h_ @ _t(q[n]["kernel"])
+                      for n in ("to_q", "to_k", "to_v"))
+        bb = h_.shape[0]
+
+        def sh(z):
+            return z.reshape(bb, f, heads, c // heads).transpose(1, 2)
+
+        o = torch.nn.functional.scaled_dot_product_attention(
+            sh(qq), sh(kk), sh(vv))
+        o = o.transpose(1, 2).reshape(bb, f, c)
+        return o @ _t(q["to_out"]["kernel"]) + _t(q["to_out"]["bias"])
+
+    def ff(h_, q):
+        proj = h_ @ _t(q["proj"]["kernel"]) + _t(q["proj"]["bias"])
+        a, g = proj.chunk(2, dim=-1)
+        return (a * torch.nn.functional.gelu(g)) \
+            @ _t(q["out"]["kernel"]) + _t(q["out"]["bias"])
+
+    hs = hs + attn(ln(hs, blk["norm1"]) + pe, blk["attn1"])
+    hs = hs + attn(ln(hs, blk["norm2"]) + pe, blk["attn2"])
+    hs = hs + ff(ln(hs, blk["norm3"]), blk["ff"])
+    hs = hs @ _t(p["proj_out"]["kernel"]) + _t(p["proj_out"]["bias"])
+    hs = hs.reshape(b, hh, ww, f, c).permute(0, 3, 4, 1, 2) \
+        .reshape(b * f, c, hh, ww)
+    want = (hs + residual).numpy()
+    np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 3, 1, 2)),
+                               want, rtol=2e-4, atol=2e-4)

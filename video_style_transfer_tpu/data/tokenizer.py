@@ -185,12 +185,22 @@ class CLIPTokenizer:
             if truncation:
                 ids = ids[: max_length - 2]
             rows.append([self.bos_token_id] + ids + [self.eos_token_id])
-        width = max_length
+        longest = max(len(r) for r in rows)
         if padding == "longest" or padding is False or padding == "do_not_pad":
-            width = max(len(r) for r in rows)
-        # truncation=False with an over-long prompt: transformers returns
-        # the long sequence rather than erroring
-        width = max(width, max(len(r) for r in rows))
+            # truncation=False with an over-long prompt: transformers
+            # returns the long sequence rather than erroring
+            width = longest
+        else:
+            width = max_length
+            if longest > max_length:
+                # transformers leaves only the over-long row long;
+                # widening the whole batch would silently change every
+                # row's width (and CLIP position embeddings cap at 77)
+                raise ValueError(
+                    f"sequence of length {longest} exceeds max_length="
+                    f"{max_length} with truncation=False and "
+                    f"padding='max_length'; pass truncation=True or "
+                    f"padding='longest'")
         out = np.full((len(rows), width), self.pad_token_id, np.int32)
         for i, row in enumerate(rows):
             out[i, : len(row)] = row

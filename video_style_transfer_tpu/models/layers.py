@@ -94,12 +94,22 @@ def group_norm(p, x, *, num_groups: int, eps: float = 1e-5):
     xf = x.astype(jnp.float32)
     x2 = xf.reshape(lead, -1, c)
     n_spatial = x2.shape[1]
-    s1 = jnp.sum(x2, axis=1)                       # (B, C)
-    s2 = jnp.sum(x2 * x2, axis=1)                  # (B, C)
+    # Shift by a per-group reference value (group mean of the first
+    # spatial row) before squaring: E[(x-K)^2] - E[x-K]^2 is exact for
+    # any constant K, and with K one sample away from the true mean the
+    # fp32 cancellation is bounded by ~one sample variance instead of
+    # mean^2 (which catastrophically cancelled when a group's mean
+    # dominated its variance — worst at the VAE's eps=1e-6).
+    k_g = x2[:, 0, :].reshape(lead, g, c // g).mean(-1)    # (B, g)
+    k_c = jnp.repeat(k_g, c // g, axis=-1)                 # (B, C)
+    xs = x2 - k_c[:, None, :]
+    s1 = jnp.sum(xs, axis=1)                       # (B, C)
+    s2 = jnp.sum(xs * xs, axis=1)                  # (B, C)
     cnt = n_spatial * (c // g)
-    gmean = s1.reshape(lead, g, c // g).sum(-1) / cnt      # (B, g)
+    gmean_s = s1.reshape(lead, g, c // g).sum(-1) / cnt    # (B, g)
     gsq = s2.reshape(lead, g, c // g).sum(-1) / cnt
-    inv = jax.lax.rsqrt(jnp.maximum(gsq - gmean * gmean, 0.0) + eps)
+    inv = jax.lax.rsqrt(jnp.maximum(gsq - gmean_s * gmean_s, 0.0) + eps)
+    gmean = gmean_s + k_g
     mean_c = jnp.repeat(gmean, c // g, axis=-1)    # (B, C)
     inv_c = jnp.repeat(inv, c // g, axis=-1)
     scale = inv_c * p["scale"].astype(jnp.float32)

@@ -13,9 +13,9 @@ W stays the checkpoint layout (C, 2*inner) with halves [W_h | W_g]; the
 kernel receives it twice with index maps offset by inner, so no slice is
 ever materialized. gelu is exact (erf), matching layers.gelu.
 
-Backward: custom_vjp recomputes through the XLA reference (the FF input
-is the residual-stream activation the surrounding remat policy already
-keeps; training throughput is not this kernel's target).
+Backward: a hand-written dtype-careful VJP (_geglu_bwd) — matmul
+boundaries stay in the activation dtype while the gelu'/pdf gate math
+fuses in f32, so no 2x-inner intermediate is kept in fp32.
 """
 from __future__ import annotations
 

@@ -142,7 +142,7 @@ def _ta_bwd(num_heads, scale, block_n, res, g):
                           preferred_element_type=jnp.float32) \
             .astype(qh.dtype)
 
-    dq_h, dk_h, dv_h = [], [], []
+    dq_h = []  # per head: (dq, dk, dv) vjp triples
     for h in range(num_heads):
         sl = slice(h * d, (h + 1) * d)
         qh = jnp.stack([q[sl] for q in qs])

@@ -29,6 +29,8 @@ class Conditioning(NamedTuple):
 
 def _cat_cond(uncond: Conditioning, cond: Conditioning) -> Conditioning:
     def cat(a, b):
+        if a is None and b is None:
+            return None
         return jnp.concatenate([a, b], axis=0)
 
     def cat_ctx(i):
