@@ -16,7 +16,10 @@ def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--pretrained_model_name_or_path", default=None)
     p.add_argument("--motion_checkpoint", default=None,
-                   help="stage-2 motion_modules.safetensors")
+                   help="motion weights: a stage-2 motion_modules.pth / "
+                        ".safetensors (or a directory containing one — "
+                        "reference _find_pth semantics), or a diffusers "
+                        "MotionAdapter safetensors file")
     p.add_argument("--unziplora_name_or_path", default=None)
     p.add_argument("--unziplora_name", default="unziplora")
     p.add_argument("--prompt", required=True)
@@ -43,7 +46,8 @@ def main(argv=None):
     from video_style_transfer_tpu.lora import interop
     from video_style_transfer_tpu.lora.surgery import insert_unziplora
     from video_style_transfer_tpu.pipelines.video import generate_video
-    from video_style_transfer_tpu.utils.hf_convert import convert_to_pytree
+    from video_style_transfer_tpu.utils.motion_convert import (
+        import_motion_state_dict, load_motion_checkpoint)
 
     os.makedirs(args.output_dir, exist_ok=True)
     bundle = common.load_models(args.pretrained_model_name_or_path,
@@ -54,8 +58,8 @@ def main(argv=None):
 
     params = bundle.unet
     if args.motion_checkpoint:
-        sd = interop.load_safetensors(args.motion_checkpoint)
-        params = convert_to_pytree(sd, params, strict=False)
+        sd = load_motion_checkpoint(args.motion_checkpoint)
+        params = import_motion_state_dict(params, sd)
 
     if args.unziplora_name_or_path:
         base = args.unziplora_name_or_path

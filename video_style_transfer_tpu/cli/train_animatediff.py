@@ -48,6 +48,16 @@ def build_parser():
                    choices=["no", "bf16"],
                    help="stage-2 reference default is bf16 "
                         "(train_animatediff.sh:76)")
+    p.add_argument("--motion_adapter_path", default=None,
+                   help="initial motion weights: diffusers MotionAdapter "
+                        "safetensors, a trained motion_modules.pth, or a "
+                        "directory containing either (reference "
+                        "load_unet_with_motion, animatediff/utils.py:13-63)")
+    p.add_argument("--checkpoint_format", default="safetensors",
+                   choices=["safetensors", "pth"],
+                   help="final motion checkpoint format; pth = the "
+                        "reference's torch format (animatediff/utils.py"
+                        ":102-145), loadable by its inference driver")
     p.add_argument("--checkpointing_steps", type=int, default=500)
     p.add_argument("--resume_from_checkpoint", default=None)
     p.add_argument("--log_every", type=int, default=10)
@@ -94,6 +104,12 @@ def main(argv=None):
     else:
         params, lora_state = insert_unziplora(
             bundle.unet, jax.random.PRNGKey(args.seed), rank=4)
+
+    if args.motion_adapter_path:
+        from video_style_transfer_tpu.utils.motion_convert import (
+            import_motion_state_dict, load_motion_checkpoint)
+        params = import_motion_state_dict(
+            params, load_motion_checkpoint(args.motion_adapter_path))
 
     params = insert_temporal_lora(params, jax.random.PRNGKey(args.seed + 1),
                                   rank=args.temporal_lora_rank,
@@ -183,7 +199,8 @@ def main(argv=None):
         if (step + 1) % args.checkpointing_steps == 0:
             ckpt.save_checkpoint(ckpt_dir, state, step + 1)
 
-    out = os.path.join(args.output_dir, "motion_modules.safetensors")
+    out = os.path.join(args.output_dir,
+                       f"motion_modules.{args.checkpoint_format}")
     ckpt.export_motion_checkpoint(out, state.params)
     print("saved motion checkpoint:", out)
     logger.close()

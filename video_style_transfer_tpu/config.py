@@ -56,7 +56,10 @@ class UNetConfig:
     use_motion_modules: bool = False
     motion_num_attention_heads: int = 8
     motion_max_seq_length: int = 32
-    motion_layers_per_block: int = 2
+    # transformer blocks per motion module — 1 for every published
+    # AnimateDiff adapter (diffusers AnimateDiffTransformer3D num_layers;
+    # modules-per-block is layers_per_block, matching UNetMotionModel)
+    motion_transformer_layers_per_block: int = 1
     motion_mid_block: bool = False
 
     @property

@@ -74,7 +74,9 @@ def iter_spatial_attention_paths(unet_params) -> Iterator[Path]:
 
 def iter_motion_attention_paths(unet_params) -> Iterator[Path]:
     """Paths of every (stacked) temporal attention inside motion
-    modules."""
+    modules — both attn1 and attn2 (diffusers motion blocks run double
+    self-attention; the reference's inject_temporal_lora wraps every
+    motion q/k/v/out, animatediff/temporal_lora.py:44-69)."""
     def blocks(kind):
         if kind == "mid_block":
             yield ("mid_block",), unet_params["mid_block"]
@@ -85,8 +87,9 @@ def iter_motion_attention_paths(unet_params) -> Iterator[Path]:
     for kind in ("down_blocks", "mid_block", "up_blocks"):
         for prefix, block in blocks(kind):
             for j, mm in enumerate(block.get("motion_modules", [])):
-                yield prefix + ("motion_modules", j,
-                                "transformer_blocks", "attn1")
+                for name in ("attn1", "attn2"):
+                    yield prefix + ("motion_modules", j,
+                                    "transformer_blocks", name)
 
 
 def path_str(path: Path) -> str:
@@ -179,10 +182,13 @@ def spatial_pairs(unet_params) -> List[Tuple[Path, Path, int]]:
     """
     pairs = []
     for mpath in iter_motion_attention_paths(unet_params):
-        # (... 'motion_modules', j, 'transformer_blocks', 'attn1')
+        # (... 'motion_modules', j, 'transformer_blocks', attn_name);
+        # the reference strips 'motion_modules' and pairs by the SAME
+        # attn name (temporal_lora.py:100-111) — attn2's cross-dim k/v
+        # then drop out via the shape check below, exactly as there
         prefix = mpath[:-4]
         j = mpath[-3]
-        spath = prefix + ("attentions", j, "transformer_blocks", "attn1")
+        spath = prefix + ("attentions", j, "transformer_blocks", mpath[-1])
         try:
             sp = _get(unet_params, spath)
         except (KeyError, IndexError, TypeError):

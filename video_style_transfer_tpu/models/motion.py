@@ -1,11 +1,28 @@
 """Temporal (motion) transformer modules — AnimateDiff, TPU-first.
 
 The reference bolts diffusers' UNetMotionModel motion modules onto the
-SDXL UNet at runtime (animatediff/utils.py:13-53); its from-scratch spec of
-the temporal math lives in animatediff/temporal_transformer.py:79-146
-(per-pixel frame-sequence self-attention with sinusoidal positional
-encoding, max 32 frames). Here motion modules are first-class optional
-UNet sub-modules.
+SDXL UNet at runtime (animatediff/utils.py:13-53). Here motion modules
+are first-class optional UNet sub-modules whose pytree layout mirrors
+the diffusers motion-module state dict exactly, so the
+guoyww/animatediff-motion-adapter-sdxl-beta checkpoint and the
+reference's trained motion_modules.pth import mechanically
+(utils/motion_convert.py):
+
+  norm (GroupNorm, eps 1e-6, statistics pooled over frames AND space —
+        diffusers normalizes the (B, C, F, H, W) layout)
+  proj_in
+  transformer_blocks.{k}:            # stacked pytree, k = 0 for SDXL
+      norm1 -> [+ sinusoidal PE] -> attn1   (temporal self-attention)
+      norm2 -> [+ sinusoidal PE] -> attn2   (second self-attention —
+                diffusers double_self_attention=True)
+      norm3 -> ff (GEGLU)
+  proj_out
+
+q/k/v are bias-free, to_out carries a bias (diffusers
+attention_bias=False). The sinusoidal positional encoding is applied to
+the POST-norm activations before each attention (diffusers
+BasicTransformerBlock pos_embed), not once after proj_in; its buffer
+(`pos_embed.pe` in checkpoints) is recomputed, never stored.
 
 Layout: tokens are ordered (F, N, C) inside the module (a cheap
 leading-dim shuffle from the spatial (B*F, H, W, C) batch). Temporal
@@ -33,12 +50,14 @@ from video_style_transfer_tpu.ops.temporal_attention import (
 
 
 def init_motion_block(key, dim: int, *, heads: int, dtype=jnp.float32):
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3 = jax.random.split(key, 3)
     return {
         "norm1": layers.init_layer_norm(dim, dtype),
         "attn1": init_attention(k1, dim, heads=heads, dtype=dtype),
         "norm2": layers.init_layer_norm(dim, dtype),
-        "ff": init_feed_forward(k2, dim, dtype=dtype),
+        "attn2": init_attention(k2, dim, heads=heads, dtype=dtype),
+        "norm3": layers.init_layer_norm(dim, dtype),
+        "ff": init_feed_forward(k3, dim, dtype=dtype),
     }
 
 
@@ -86,20 +105,27 @@ def _temporal_attention(p, x, *, heads: int, impl: str = "auto"):
     return jnp.stack([_out_proj(p["to_out"], o) for o in os_], axis=0)
 
 
-def motion_block(p, x, *, heads: int, impl: str = "auto"):
-    """x: (F, N, C) — self-attention across the frame axis."""
-    h = layers.layer_norm(p["norm1"], x)
+def motion_block(p, x, pe, *, heads: int, impl: str = "auto"):
+    """x: (F, N, C), pe: (F, 1, C) — double temporal self-attention with
+    the positional encoding added to the post-norm activations before
+    each attention (diffusers BasicTransformerBlock with
+    positional_embeddings='sinusoidal', double_self_attention=True)."""
+    h = layers.layer_norm(p["norm1"], x) + pe
     x = x + _temporal_attention(p["attn1"], h, heads=heads, impl=impl)
-    h = layers.layer_norm(p["norm2"], x)
+    h = layers.layer_norm(p["norm2"], x) + pe
+    x = x + _temporal_attention(p["attn2"], h, heads=heads, impl=impl)
+    h = layers.layer_norm(p["norm3"], x)
     x = x + feed_forward(p["ff"], h)
     return x
 
 
-def init_motion_module(key, in_channels: int, *, num_layers: int = 2,
+def init_motion_module(key, in_channels: int, *, num_layers: int = 1,
                        heads: int = 8, norm_num_groups: int = 32,
                        dtype=jnp.float32):
     """'transformer_blocks' is a stacked pytree (leading num_layers axis),
-    scanned at apply time — same layout as the spatial transformer."""
+    scanned at apply time — same layout as the spatial transformer.
+    Diffusers' AnimateDiffTransformer3D has num_layers = 1 for every
+    published AnimateDiff adapter (SD15 and SDXL-beta)."""
     k_in, k_blocks, k_out = jax.random.split(key, 3)
     block_keys = jax.random.split(k_blocks, num_layers)
     blocks = jax.vmap(
@@ -120,15 +146,22 @@ def motion_module(p, x, *, num_frames: int, heads: int, norm_num_groups: int,
                   remat: bool = False):
     """x: (B*F, H, W, C) (spatial batch layout). Returns same shape.
 
-    Internally: (B, F, H*W, C) -> (F, B*H*W, C) (leading-dim shuffle),
-    add frame positional encoding, run temporal blocks, project back,
+    Internally: GroupNorm with statistics pooled over (F, H, W) per
+    group (diffusers normalizes the (B, C, F, H, W) layout before
+    flattening to per-pixel frame sequences), then
+    (B, F, H*W, C) -> (F, B*H*W, C) (leading-dim shuffle), proj_in,
+    temporal blocks (PE applied inside each block), proj_out,
     residual-add.
     """
     bf, h, w, c = x.shape
     b = bf // num_frames
     residual = x
 
-    y = layers.group_norm(p["norm"], x, num_groups=norm_num_groups)
+    # Fold the frame axis into the spatial dims so group statistics pool
+    # over frames as well — equivalent to GroupNorm on (B, C, F, H, W).
+    y = x.reshape(b, num_frames * h, w, c)
+    y = layers.group_norm(p["norm"], y, num_groups=norm_num_groups,
+                          eps=1e-6)
     y = y.reshape(b, num_frames, h * w, c)
     # (B, F, HW, C) -> (F, B, HW, C): chunk shuffle of the two leading
     # dims only — C stays minor, HW*C spans move whole
@@ -136,14 +169,21 @@ def motion_module(p, x, *, num_frames: int, heads: int, norm_num_groups: int,
     y = layers.linear(p["proj_in"], y)
 
     pe = temporal_positional_encoding(num_frames, c, max_len=max_seq_length)
-    y = y + pe[:, None, :].astype(y.dtype)
+    pe = pe[:, None, :].astype(y.dtype)
 
     def body(y_, bp):
-        return motion_block(bp, y_, heads=heads, impl=impl), None
+        return motion_block(bp, y_, pe, heads=heads, impl=impl), None
 
     if remat:
         body = jax.checkpoint(body)
-    y, _ = jax.lax.scan(body, y, p["transformer_blocks"])
+    n_layers = jax.tree.leaves(p["transformer_blocks"])[0].shape[0]
+    if n_layers == 1:
+        # avoid scan overhead for the single-layer stacks every
+        # published AnimateDiff adapter uses
+        y, _ = body(y, jax.tree.map(lambda a: a[0],
+                                    p["transformer_blocks"]))
+    else:
+        y, _ = jax.lax.scan(body, y, p["transformer_blocks"])
 
     y = layers.linear(p["proj_out"], y)
     y = y.reshape(num_frames, b, h, w, c)

@@ -55,7 +55,8 @@ def init_unet(key, cfg: UNetConfig, dtype=jnp.float32):
 
     def motion(channels):
         return init_motion_module(
-            nxt(), channels, num_layers=cfg.motion_layers_per_block,
+            nxt(), channels,
+            num_layers=cfg.motion_transformer_layers_per_block,
             heads=cfg.motion_num_attention_heads,
             norm_num_groups=cfg.norm_num_groups, dtype=dtype)
 

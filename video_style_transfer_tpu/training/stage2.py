@@ -38,11 +38,17 @@ class Stage2State(NamedTuple):
 def trainable_mask(params, *, train_mergers: bool = False,
                    train_motion_norms: bool = True,
                    train_full_motion: bool = False):
-    """Boolean pytree: True = trainable. Temporal LoRA a/b always; motion
-    module norms optionally ("Option B/C", reference
-    train_animatediff.py:133-147); mergers when unfrozen;
-    train_full_motion fine-tunes every motion-module weight (the older
-    stage-2 variant, unziplora_unet/train_animatediff.py)."""
+    """Boolean pytree: True = trainable. Temporal LoRA a/b always.
+
+    The reference's freeze (animatediff/utils.py:66-95) keeps EVERY
+    motion-module weight trainable except the wrapped attention base
+    projections (.base.weight/.base.bias of TemporalLoRALinear) — i.e.
+    norms, GroupNorm, ff, proj_in/proj_out all train alongside the
+    temporal LoRA. ``train_motion_norms`` gates that non-attention set
+    (False = LoRA-only, a stricter variant the reference doesn't have).
+    Mergers train when unfrozen ("Option C"); train_full_motion
+    fine-tunes every motion weight including the attention bases (the
+    older stage-2 variant, unziplora_unet/train_animatediff.py)."""
     def walk(tree, path):
         if isinstance(tree, dict):
             return {k: walk(v, path + (k,)) for k, v in tree.items()}
@@ -51,11 +57,16 @@ def trainable_mask(params, *, train_mergers: bool = False,
         in_motion = "motion_modules" in path
         if "tlora" in path:
             return path[-1] in ("a", "b")
-        if train_full_motion and in_motion and "lora" not in path:
-            return True
-        if train_motion_norms and in_motion and any(
-                isinstance(k, str) and k.startswith("norm") for k in path):
-            return True
+        if in_motion:
+            if train_full_motion and "lora" not in path:
+                return True
+            is_attn_base = any(
+                isinstance(k, str)
+                and k in ("to_q", "to_k", "to_v", "to_out")
+                for k in path)
+            if not is_attn_base and train_motion_norms:
+                return True
+            return False
         if train_mergers and "lora" in path and isinstance(path[-1], str) \
                 and path[-1].startswith("merge_"):
             return True

@@ -21,13 +21,7 @@ import re
 import shutil
 from typing import Any, Optional
 
-import numpy as np
-import jax
-
 from video_style_transfer_tpu.lora import interop
-from video_style_transfer_tpu.lora.surgery import (
-    PROJS, iter_motion_attention_paths, tree_get)
-from video_style_transfer_tpu.lora.temporal import merge_into_kernel
 
 
 def _ckptr():
@@ -100,26 +94,14 @@ def export_stage1_artifacts(out_dir: str, name: str, params, lora_state):
 def export_motion_checkpoint(out_path: str, params):
     """Stage-2 checkpoint: every motion-module weight with the temporal
     LoRA delta folded into the base kernels (wrapper-free inference,
-    reference get_merged_motion_state_dict, temporal_lora.py:169-192).
-    Saved as safetensors of numpy arrays keyed by pytree path."""
-    from video_style_transfer_tpu.utils.hf_convert import (
-        export_to_state_dict)
+    reference get_merged_motion_state_dict, temporal_lora.py:169-192),
+    in diffusers UNetMotionModel key naming. Format by extension:
+    ``.pth`` = the reference's torch format (incl. pos_embed.pe buffers,
+    loadable by its load_unet_with_motion), else safetensors."""
+    from video_style_transfer_tpu.utils.motion_convert import (
+        export_motion_state_dict, save_motion_checkpoint)
 
-    merged = params
-    from video_style_transfer_tpu.lora.surgery import tree_set
-    for apath in iter_motion_attention_paths(params):
-        attn = tree_get(merged, apath)
-        for proj in PROJS:
-            p = attn[proj]
-            if "tlora" not in p:
-                continue
-            kernel = jax.vmap(merge_into_kernel)(p["kernel"], p["tlora"])
-            new_p = {k: v for k, v in p.items() if k != "tlora"}
-            new_p["kernel"] = kernel
-            merged = tree_set(merged, apath + (proj,), new_p)
-
-    sd = export_to_state_dict(merged)
-    motion_sd = {k: v for k, v in sd.items() if "motion_modules" in k}
-    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
-    interop.save_safetensors(motion_sd, out_path)
-    return motion_sd
+    sd = export_motion_state_dict(params,
+                                  include_pe=out_path.endswith(".pth"))
+    save_motion_checkpoint(sd, out_path)
+    return sd
