@@ -44,8 +44,8 @@ def _convert(hf_model, with_projection=False):
         "final_layer_norm": {
             "scale": jnp.asarray(sd[pre + "final_layer_norm.weight"]),
             "bias": jnp.asarray(sd[pre + "final_layer_norm.bias"])},
-        "layers": [],
     }
+    per_layer = []
     for i in range(n_layers):
         lp = {}
         base = f"{pre}encoder.layers.{i}."
@@ -61,7 +61,8 @@ def _convert(hf_model, with_projection=False):
             lp[fc] = {"kernel": jnp.asarray(sd[base + "mlp." + fc
                                                + ".weight"].T),
                       "bias": jnp.asarray(sd[base + "mlp." + fc + ".bias"])}
-        p["layers"].append(lp)
+        per_layer.append(lp)
+    p["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
     if with_projection:
         p["text_projection"] = {
             "kernel": jnp.asarray(sd["text_projection.weight"].T)}

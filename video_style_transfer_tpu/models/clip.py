@@ -18,34 +18,43 @@ from video_style_transfer_tpu.models import layers
 from video_style_transfer_tpu.ops.attention import merge_heads, split_heads
 
 
-def init_clip(key, cfg: CLIPConfig, dtype=jnp.float32):
-    keys = iter(jax.random.split(key, 8 * cfg.num_layers + 8))
-    nxt = lambda: next(keys)  # noqa: E731
+def _init_clip_layer(key, cfg: CLIPConfig, dtype):
     d = cfg.hidden_size
+    ks = jax.random.split(key, 6)
+    return {
+        "layer_norm1": layers.init_layer_norm(d, dtype),
+        "q_proj": layers.init_linear(ks[0], d, d, dtype=dtype),
+        "k_proj": layers.init_linear(ks[1], d, d, dtype=dtype),
+        "v_proj": layers.init_linear(ks[2], d, d, dtype=dtype),
+        "out_proj": layers.init_linear(ks[3], d, d, dtype=dtype),
+        "layer_norm2": layers.init_layer_norm(d, dtype),
+        "fc1": layers.init_linear(ks[4], d, cfg.intermediate_size,
+                                  dtype=dtype),
+        "fc2": layers.init_linear(ks[5], cfg.intermediate_size, d,
+                                  dtype=dtype),
+    }
+
+
+def init_clip(key, cfg: CLIPConfig, dtype=jnp.float32):
+    """'layers' is a STACKED pytree (leading num_layers axis) scanned at
+    apply time — the repo-wide layout for repeated blocks. The bigG
+    encoder's 32 layers would otherwise unroll at trace time on every
+    cold start."""
+    k1, k2, k_layers, k_proj = jax.random.split(key, 4)
+    d = cfg.hidden_size
+    layer_keys = jax.random.split(k_layers, cfg.num_layers)
     p = {
         "token_embedding": jax.random.normal(
-            nxt(), (cfg.vocab_size, d), dtype) * 0.02,
+            k1, (cfg.vocab_size, d), dtype) * 0.02,
         "position_embedding": jax.random.normal(
-            nxt(), (cfg.max_position_embeddings, d), dtype) * 0.01,
-        "layers": [],
+            k2, (cfg.max_position_embeddings, d), dtype) * 0.01,
+        "layers": jax.vmap(
+            lambda k: _init_clip_layer(k, cfg, dtype))(layer_keys),
         "final_layer_norm": layers.init_layer_norm(d, dtype),
     }
-    for _ in range(cfg.num_layers):
-        p["layers"].append({
-            "layer_norm1": layers.init_layer_norm(d, dtype),
-            "q_proj": layers.init_linear(nxt(), d, d, dtype=dtype),
-            "k_proj": layers.init_linear(nxt(), d, d, dtype=dtype),
-            "v_proj": layers.init_linear(nxt(), d, d, dtype=dtype),
-            "out_proj": layers.init_linear(nxt(), d, d, dtype=dtype),
-            "layer_norm2": layers.init_layer_norm(d, dtype),
-            "fc1": layers.init_linear(nxt(), d, cfg.intermediate_size,
-                                      dtype=dtype),
-            "fc2": layers.init_linear(nxt(), cfg.intermediate_size, d,
-                                      dtype=dtype),
-        })
     if cfg.projection_dim is not None:
         p["text_projection"] = layers.init_linear(
-            nxt(), d, cfg.projection_dim, bias=False, dtype=dtype)
+            k_proj, d, cfg.projection_dim, bias=False, dtype=dtype)
     return p
 
 
@@ -85,14 +94,24 @@ def clip_apply(params, cfg: CLIPConfig, input_ids, *,
     mask = causal[None, None]
 
     act = _act(cfg)
-    penultimate = None
-    for i, lp in enumerate(params["layers"]):
-        if i == cfg.num_layers - 1:
-            penultimate = x
-        h = layers.layer_norm(lp["layer_norm1"], x, eps=cfg.layer_norm_eps)
-        x = x + _attn(lp, h, mask, cfg.num_heads)
-        h = layers.layer_norm(lp["layer_norm2"], x, eps=cfg.layer_norm_eps)
-        x = x + layers.linear(lp["fc2"], act(layers.linear(lp["fc1"], h)))
+
+    def body(x_, lp):
+        h = layers.layer_norm(lp["layer_norm1"], x_,
+                              eps=cfg.layer_norm_eps)
+        x_ = x_ + _attn(lp, h, mask, cfg.num_heads)
+        h = layers.layer_norm(lp["layer_norm2"], x_,
+                              eps=cfg.layer_norm_eps)
+        x_ = x_ + layers.linear(lp["fc2"], act(layers.linear(lp["fc1"], h)))
+        return x_, None
+
+    # scan the first L-1 stacked layers; the final layer runs unstacked
+    # so the penultimate hidden state (SDXL's clip-skip-1 output) falls
+    # out of the scan boundary
+    stack = params["layers"]
+    if cfg.num_layers > 1:
+        x, _ = jax.lax.scan(body, x, jax.tree.map(lambda a: a[:-1], stack))
+    penultimate = x
+    x, _ = body(x, jax.tree.map(lambda a: a[-1], stack))
 
     last = layers.layer_norm(params["final_layer_norm"], x,
                              eps=cfg.layer_norm_eps)
