@@ -1,11 +1,14 @@
 """Output-quality comparison tool.
 
 The driver's quality gate is per-frame LPIPS <= 0.02 vs the reference
-(BASELINE.md north star); LPIPS needs pretrained VGG weights that are not
-in this environment, so this tool reports PSNR + SSIM (pure numpy) per
-frame/image pair — sufficient to detect numerical drift between this
-framework's outputs and reference outputs generated from the same
-checkpoint and seed. Accepts image files or videos.
+(BASELINE.md north star). Pass ``--lpips <weights>`` (a .pth or
+.safetensors holding torchvision VGG16 ``features.*`` weights merged
+with the lpips-package ``lin*.model.1.weight`` heads — neither file is
+in this environment) to add per-frame LPIPS to the report
+(models/lpips.py); PSNR + SSIM (pure numpy) are always reported and
+suffice to detect numerical drift between this framework's outputs and
+reference outputs from the same checkpoint and seed. Accepts image
+files or videos.
 """
 from __future__ import annotations
 
@@ -69,30 +72,62 @@ def ssim(a: np.ndarray, b: np.ndarray, *, c1=(0.01 * 255) ** 2,
     return float(s.mean())
 
 
+def load_lpips_weights(path: str):
+    """Load merged VGG16+lin LPIPS weights (.pth or .safetensors) into
+    the models/lpips.py params tree."""
+    from video_style_transfer_tpu.models.lpips import convert_lpips
+    if path.endswith(".safetensors"):
+        from video_style_transfer_tpu.lora.interop import load_safetensors
+        sd = load_safetensors(path)
+    else:
+        import torch
+        raw = torch.load(path, map_location="cpu", weights_only=True)
+        sd = {k: v.numpy() for k, v in raw.items()}
+    return convert_lpips(sd)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ours", required=True)
     p.add_argument("--reference", required=True)
+    p.add_argument("--lpips", default=None, metavar="WEIGHTS",
+                   help="VGG16+lin LPIPS weight file; adds per-frame "
+                        "LPIPS to the report")
     p.add_argument("--json_out", default=None)
     args = p.parse_args(argv)
 
     a = load_frames(args.ours)
     b = load_frames(args.reference)
     n = min(len(a), len(b))
+
+    lpips_vals = None
+    if args.lpips:
+        import jax.numpy as jnp
+        from video_style_transfer_tpu.models.lpips import lpips_distance
+        lp = load_lpips_weights(args.lpips)
+        to_unit = lambda x: jnp.asarray(  # noqa: E731
+            x[:n], jnp.float32) / 127.5 - 1.0
+        lpips_vals = np.asarray(lpips_distance(lp, to_unit(a), to_unit(b)))
+
     per_frame = []
     for i in range(n):
         ai, bi = a[i], b[i]
         if ai.shape != bi.shape:
             raise SystemExit(f"shape mismatch at frame {i}: "
                              f"{ai.shape} vs {bi.shape}")
-        per_frame.append({"frame": i, "psnr": psnr(ai, bi),
-                          "ssim": ssim(ai, bi)})
+        row = {"frame": i, "psnr": psnr(ai, bi), "ssim": ssim(ai, bi)}
+        if lpips_vals is not None:
+            row["lpips"] = float(lpips_vals[i])
+        per_frame.append(row)
     report = {
         "frames": n,
         "psnr_mean": float(np.mean([f["psnr"] for f in per_frame])),
         "ssim_mean": float(np.mean([f["ssim"] for f in per_frame])),
         "per_frame": per_frame,
     }
+    if lpips_vals is not None:
+        report["lpips_mean"] = float(np.mean(lpips_vals))
+        report["lpips_max"] = float(np.max(lpips_vals))
     print(json.dumps({k: v for k, v in report.items()
                       if k != "per_frame"}))
     if args.json_out:
