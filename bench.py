@@ -1,15 +1,22 @@
 """Headline benchmark: 16-frame 1024^2 AnimateDiff-XL stylized-video
-denoise throughput on one TPU chip.
+generation, measured END-TO-END on one TPU chip: dual-CLIP text encode +
+30-step denoise + fp32 VAE decode, each component timed on chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "frames/sec/chip",
+   "vs_baseline": N, "components_s": {...}, "projected_v5e8_s": N}
 
 Workload (BASELINE.md): SDXL motion UNet + UnZipLoRA 'both' mode, bf16,
 CFG-batched pair, Euler schedule, 16 frames at 1024^2 (latents 128^2),
-Pallas flash-attention kernels. The reference publishes no numbers; the
-driver-set north star is a 30-step 16-frame video in < 20 s end-to-end on
-v5e-8. vs_baseline = 20 s / (single-chip denoise seconds / 8): >= 1.0
-means the frame-parallel 8-chip extrapolation meets the target.
+Pallas flash-attention kernels, fp32 decode. The reference publishes no
+numbers; the driver-set north star is a 30-step 16-frame video in < 20 s
+end-to-end on v5e-8. vs_baseline = 20 s / projected_v5e8_s where
+projected_v5e8_s = text_encode + (denoise + decode) / 8 — the
+frame-parallel extrapolation is labeled as a PROJECTION (multi-chip
+hardware is not reachable from this session; the sharded serving
+program itself is exercised by __graft_entry__.dryrun_multichip and
+tests/test_pipelines.py). --denoise_only restores the round-1
+denoise-fps metric for comparisons.
 
 Execution protocol for this environment's TPU tunnel (which executes
 lazily, caches repeated (program, input) pairs, and kills long-running
@@ -212,6 +219,69 @@ def build(frames: int, res: int, steps: int, tiny: bool, scan: bool,
     return execute
 
 
+def build_text_encode(tiny: bool):
+    """SDXL dual-encoder text conditioning (cond+uncond batched), weights
+    as jit arguments. Returns execute(seed) -> fetches the embeddings."""
+    from video_style_transfer_tpu.config import CLIPConfig
+    from video_style_transfer_tpu.models.clip import (
+        encode_sdxl_prompt, init_clip)
+
+    lcfg = CLIPConfig.tiny() if tiny else CLIPConfig.sdxl_clip_l()
+    gcfg = (CLIPConfig.tiny(projection_dim=16) if tiny
+            else CLIPConfig.sdxl_big_g())
+    pl_ = _zeros_init(lambda k: init_clip(k, lcfg, dtype=jnp.bfloat16),
+                      jax.random.PRNGKey(0))
+    pg = _zeros_init(lambda k: init_clip(k, gcfg, dtype=jnp.bfloat16),
+                     jax.random.PRNGKey(1))
+
+    @jax.jit
+    def fn(pl, pg_, ids_l, ids_g):
+        emb, pooled = encode_sdxl_prompt(pl, lcfg, pg_, gcfg, ids_l, ids_g)
+        return (jnp.sum(emb.astype(jnp.float32))
+                + jnp.sum(pooled.astype(jnp.float32)))
+
+    s = lcfg.max_position_embeddings
+
+    def execute(seed):
+        k = jax.random.PRNGKey(seed)
+        ids = jax.random.randint(k, (2, s), 0,
+                                 min(lcfg.vocab_size, gcfg.vocab_size),
+                                 jnp.int32)
+        return float(fn(pl_, pg, ids, ids))
+
+    return execute
+
+
+def build_decode(tiny: bool, frames: int, res: int, chunk: int = 4):
+    """fp32 per-frame VAE decode in per-chunk calls (the tunnel kills
+    single executions > ~1 min; a 16-frame 1024^2 decode is ~3.6 s, so
+    chunked calls are both the production memory shape AND watchdog-safe)."""
+    from video_style_transfer_tpu.config import VAEConfig
+    from video_style_transfer_tpu.models.vae import init_vae
+    from video_style_transfer_tpu.pipelines.image import decode_images
+
+    vcfg = VAEConfig.tiny() if tiny else VAEConfig.sdxl()
+    vsf = 2 if tiny else 8
+    vp = _zeros_init(lambda k: init_vae(k, vcfg), jax.random.PRNGKey(2))
+    chunk = min(chunk, frames)
+
+    @jax.jit
+    def dec(vp_, z):
+        return jnp.sum(decode_images(vp_, vcfg, z).astype(jnp.float32))
+
+    lat_shape = (chunk, res // vsf, res // vsf, 4)
+
+    def execute(seed):
+        total = 0.0
+        for i in range(max(frames // chunk, 1)):
+            z = jax.random.normal(jax.random.PRNGKey(seed * 131 + i),
+                                  lat_shape, jnp.float32)
+            total += float(dec(vp, z))
+        return total
+
+    return execute
+
+
 def main():
     # persistent compile cache: repeat bench runs skip the multi-minute
     # SDXL compile
@@ -242,8 +312,15 @@ def main():
     ap.add_argument("--autolayout", action="store_true",
                     help="XLA-chosen weight layouts (one-time relayout "
                          "of the param tree; weights stay jit arguments)")
-    ap.add_argument("--batch", type=int, default=1,
-                    help="image workload only: samples per serving call")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="image workload only: samples per serving call "
+                         "(default 4 — batched serving is the production "
+                         "image mode; the CFG pair of a single sample "
+                         "underutilizes the chip)")
+    ap.add_argument("--denoise_only", action="store_true",
+                    help="video: emit the denoise-only fps metric instead "
+                         "of the measured end-to-end (text-encode + "
+                         "denoise + fp32 decode) metric")
     ap.add_argument("--workload", default="video",
                     choices=["video", "image"],
                     help="video: 16f AnimateDiff-XL denoise (headline); "
@@ -252,6 +329,8 @@ def main():
 
     if args.workload == "image" and args.steps == 30:
         args.steps = 50  # reference image default (infer.py:99)
+    if args.batch is None:
+        args.batch = 4 if args.workload == "image" else 1
     _wait_for_backend()
     execute = build(args.frames, args.res, args.steps, args.tiny,
                     args.scan, args.workload, args.impl,
@@ -259,13 +338,16 @@ def main():
                     autolayout=args.autolayout, batch=args.batch)
     seed = int(time.time() * 1e3) % (2 ** 31)
 
-    execute(seed)  # compile + warm (forced fetch)
-    times = []
-    for t in range(args.trials):
-        t0 = time.time()
-        execute(seed + 1 + t)
-        times.append(time.time() - t0)
-    denoise_s = min(times)
+    def timed(fn, warm_seed):
+        fn(warm_seed)  # compile + warm (forced fetch)
+        ts = []
+        for t in range(args.trials):
+            t0 = time.time()
+            fn(warm_seed + 1 + t * 7919)
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    denoise_s = timed(execute, seed)
 
     if args.workload == "image":
         per_image = denoise_s / args.batch
@@ -278,16 +360,40 @@ def main():
             "vs_baseline": round(20.0 / max(per_image, 1e-9), 4),
         }))
         return
-    fps = args.frames / denoise_s
-    projected_8chip_s = denoise_s / 8
-    vs_baseline = 20.0 / max(projected_8chip_s, 1e-9)
 
+    if args.denoise_only or args.scan:
+        fps = args.frames / denoise_s
+        projected_8chip_s = denoise_s / 8
+        rec = {
+            "metric": f"animatediffxl_denoise_{args.frames}f_{args.res}px_"
+                      f"{args.steps}step_fps_per_chip",
+            "value": round(fps, 4),
+            "unit": "frames/sec/chip",
+            "vs_baseline": round(20.0 / max(projected_8chip_s, 1e-9), 4),
+        }
+        print(json.dumps(rec))
+        return
+
+    # measured end-to-end: text-encode + denoise + fp32 VAE decode, each
+    # timed on chip with the per-step fetch protocol. vs_baseline uses the
+    # PROJECTED v5e-8 time (frame-parallel denoise+decode /8; text encode
+    # unsharded — it is milliseconds); real multi-chip hardware is not
+    # reachable from this session.
+    text_s = timed(build_text_encode(args.tiny), seed + 101)
+    decode_s = timed(build_decode(args.tiny, args.frames, args.res),
+                     seed + 202)
+    e2e_s = text_s + denoise_s + decode_s
+    projected_v5e8_s = text_s + (denoise_s + decode_s) / 8
     rec = {
-        "metric": f"animatediffxl_denoise_{args.frames}f_{args.res}px_"
+        "metric": f"animatediffxl_video_e2e_{args.frames}f_{args.res}px_"
                   f"{args.steps}step_fps_per_chip",
-        "value": round(fps, 4),
+        "value": round(args.frames / e2e_s, 4),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(vs_baseline, 4),
+        "vs_baseline": round(20.0 / max(projected_v5e8_s, 1e-9), 4),
+        "components_s": {"text_encode": round(text_s, 3),
+                         "denoise": round(denoise_s, 3),
+                         "vae_decode": round(decode_s, 3)},
+        "projected_v5e8_s": round(projected_v5e8_s, 3),
     }
     if not args.tiny:
         with open(LAST_RESULT, "w") as f:

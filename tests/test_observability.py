@@ -97,3 +97,18 @@ def test_compare_outputs_tool(tmp_path):
     rep_same = main(["--ours", str(tmp_path / "a.png"),
                      "--reference", str(tmp_path / "a.png")])
     assert rep_same["ssim_mean"] == 1.0
+
+
+def test_metrics_logger_images(tmp_path):
+    import numpy as np
+    logger = obs.MetricsLogger(str(tmp_path))
+    logger.log_images(3, {"validation/both":
+                          np.zeros((8, 8, 3), np.uint8),
+                          "validation/style":
+                          np.ones((8, 8, 3), np.float32) * 0.5})
+    logger.close()
+    lines = [json.loads(x) for x in
+             open(tmp_path / "metrics.jsonl").read().splitlines()]
+    assert lines[-1]["step"] == 3
+    assert lines[-1]["validation_images"] == ["validation/both",
+                                              "validation/style"]

@@ -135,3 +135,26 @@ def test_full_video_pipeline_sharded_including_decode():
         frames = run(up_r, vp_r, jax.random.PRNGKey(5))
     assert frames.shape == (8, RES, RES, 3)
     assert frames.dtype == jnp.uint8
+
+
+def test_per_stream_negative_conditioning():
+    """prompt_2 and per-stream negatives thread distinct embeddings
+    (reference pipeline_stable_diffusion_xl.py:145-196 surface)."""
+    from video_style_transfer_tpu.cli import common
+
+    bundle = common.load_models(None, smoke=True)
+    c1 = common.make_conditioning(bundle, "a", height=16, width=16)
+    c2 = common.make_conditioning(bundle, "a", height=16, width=16,
+                                  prompt_2="different")
+    assert np.abs(np.asarray(c1.ctx[0]) - np.asarray(c2.ctx[0])).max() > 0
+
+    n = common.negative_conditioning(
+        bundle, "bad", height=16, width=16,
+        negative_prompt_content="ugly content",
+        negative_prompt_style="ugly style")
+    assert np.abs(np.asarray(n.ctx[0]) - np.asarray(n.ctx[1])).max() > 0
+    assert np.abs(np.asarray(n.ctx[1]) - np.asarray(n.ctx[2])).max() > 0
+    # unspecified streams share the combined negative
+    n2 = common.negative_conditioning(bundle, "bad", height=16, width=16)
+    np.testing.assert_array_equal(np.asarray(n2.ctx[0]),
+                                  np.asarray(n2.ctx[1]))

@@ -126,21 +126,45 @@ def encode_prompt(bundle: ModelBundle, prompt: str,
 def make_conditioning(bundle: ModelBundle, prompt: str,
                       prompt_content: Optional[str] = None,
                       prompt_style: Optional[str] = None, *,
-                      height: int, width: int) -> Conditioning:
-    emb, pooled = encode_prompt(bundle, prompt)
+                      height: int, width: int,
+                      prompt_2: Optional[str] = None,
+                      prompt_content_2: Optional[str] = None,
+                      prompt_style_2: Optional[str] = None) -> Conditioning:
+    """Triple-stream conditioning. The ``*_2`` prompts feed the second
+    (OpenCLIP bigG) tokenizer/encoder a different text per stream,
+    matching the reference pipeline's prompt_2/prompt_content_2/
+    prompt_style_2 surface (pipeline_stable_diffusion_xl.py:145-196)."""
+    emb, pooled = encode_prompt(bundle, prompt, prompt_2)
     emb_c = emb_s = None
     if prompt_content is not None:
-        emb_c, _ = encode_prompt(bundle, prompt_content)
+        emb_c, _ = encode_prompt(bundle, prompt_content, prompt_content_2)
     if prompt_style is not None:
-        emb_s, _ = encode_prompt(bundle, prompt_style)
+        emb_s, _ = encode_prompt(bundle, prompt_style, prompt_style_2)
     return Conditioning(ctx=(emb, emb_c, emb_s), pooled=pooled,
                         time_ids=default_time_ids(height, width, 1))
 
 
 def negative_conditioning(bundle: ModelBundle, negative_prompt: str, *,
-                          height: int, width: int) -> Conditioning:
-    emb, pooled = encode_prompt(bundle, negative_prompt)
-    return Conditioning(ctx=(emb, emb, emb), pooled=pooled,
+                          height: int, width: int,
+                          negative_prompt_2: Optional[str] = None,
+                          negative_prompt_content: Optional[str] = None,
+                          negative_prompt_content_2: Optional[str] = None,
+                          negative_prompt_style: Optional[str] = None,
+                          negative_prompt_style_2: Optional[str] = None
+                          ) -> Conditioning:
+    """Unconditional side of the CFG pair. Per-stream negatives mirror
+    the reference's negative_prompt_content/style (+_2) arguments
+    (pipeline_stable_diffusion_xl.py:159-164); unspecified streams share
+    the combined negative, exactly as there."""
+    emb, pooled = encode_prompt(bundle, negative_prompt, negative_prompt_2)
+    emb_c = emb_s = emb
+    if negative_prompt_content is not None:
+        emb_c, _ = encode_prompt(bundle, negative_prompt_content,
+                                 negative_prompt_content_2)
+    if negative_prompt_style is not None:
+        emb_s, _ = encode_prompt(bundle, negative_prompt_style,
+                                 negative_prompt_style_2)
+    return Conditioning(ctx=(emb, emb_c, emb_s), pooled=pooled,
                         time_ids=default_time_ids(height, width, 1))
 
 

@@ -27,10 +27,17 @@ def build_parser():
                         "path); forces mode=content")
     p.add_argument("--lora_scale", type=float, default=1.0)
     p.add_argument("--prompt", required=True)
+    p.add_argument("--prompt_2", default=None,
+                   help="separate text for the second (bigG) encoder")
     p.add_argument("--prompt_content", default=None)
+    p.add_argument("--prompt_content_2", default=None)
     p.add_argument("--prompt_style", default=None)
+    p.add_argument("--prompt_style_2", default=None)
     from video_style_transfer_tpu.cli.common import DEFAULT_NEGATIVE_PROMPT
     p.add_argument("--negative_prompt", default=DEFAULT_NEGATIVE_PROMPT)
+    p.add_argument("--negative_prompt_2", default=None)
+    p.add_argument("--negative_prompt_content", default=None)
+    p.add_argument("--negative_prompt_style", default=None)
     p.add_argument("--mode", default="both",
                    choices=["both", "content", "style", "base"])
     p.add_argument("--output_dir", default="out/images")
@@ -97,11 +104,16 @@ def main(argv=None):
         params, _ = fold_unziplora(params, state, mode=args.mode,
                                    fold_cross_kv=full)
 
-    cond = common.make_conditioning(bundle, args.prompt,
-                                    args.prompt_content, args.prompt_style,
-                                    height=res, width=res)
-    uncond = common.negative_conditioning(bundle, args.negative_prompt,
-                                          height=res, width=res)
+    cond = common.make_conditioning(
+        bundle, args.prompt, args.prompt_content, args.prompt_style,
+        height=res, width=res, prompt_2=args.prompt_2,
+        prompt_content_2=args.prompt_content_2,
+        prompt_style_2=args.prompt_style_2)
+    uncond = common.negative_conditioning(
+        bundle, args.negative_prompt, height=res, width=res,
+        negative_prompt_2=args.negative_prompt_2,
+        negative_prompt_content=args.negative_prompt_content,
+        negative_prompt_style=args.negative_prompt_style)
     # conditioning passes as a jit ARGUMENT (not a baked constant) so new
     # prompts reuse the compiled program
     run = jax.jit(lambda p, u, c, key: generate_images(

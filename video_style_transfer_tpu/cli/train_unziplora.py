@@ -119,9 +119,10 @@ FREEZE_UNET_STYLE = {"mid_block": ["N_0_A_A"],
                      "down_blocks.": ["A_A_A_A"]}
 
 
-def _run_validation(args, bundle, state, res, step):
-    """In-training validation images for both/content/style forward types
-    (reference train_unziplora.py:2263-2340)."""
+def _run_validation(args, bundle, state, res, step, logger=None):
+    """In-training validation images for both/content/style forward
+    types, saved to disk AND logged to the active trackers (reference
+    logs grids to wandb/tensorboard, train_unziplora.py:2263-2340)."""
     import jax as _jax
     from video_style_transfer_tpu.cli import common
     from video_style_transfer_tpu.data.video_io import save_image
@@ -149,8 +150,10 @@ def _run_validation(args, bundle, state, res, step):
             vae_scale_factor=bundle.vae_scale_factor))
         imgs = run(state.params, uncond=uncond, cond=cond,
                    key=_jax.random.PRNGKey(0), state=state.lora_state)
-        save_image(jax.device_get(imgs[0]),
-                   os.path.join(val_dir, f"step{step}_{mode}.png"))
+        img = jax.device_get(imgs[0])
+        save_image(img, os.path.join(val_dir, f"step{step}_{mode}.png"))
+        if logger is not None:
+            logger.log_images(step, {f"validation/{mode}": img})
 
 
 def main(argv=None):
@@ -319,7 +322,8 @@ def main(argv=None):
                                  total_limit=args.checkpoints_total_limit)
         if (args.validation_prompt
                 and (step + 1) % args.validation_epochs == 0):
-            _run_validation(args, bundle, state, res, step + 1)
+            _run_validation(args, bundle, state, res, step + 1,
+                            logger=logger)
 
     # ---- final artifacts (reference format) ---------------------------
     paths = ckpt.export_stage1_artifacts(args.output_dir, args.name,

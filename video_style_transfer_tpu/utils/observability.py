@@ -166,6 +166,27 @@ class MetricsLogger:
         if self._wandb is not None:
             self._wandb.log(clean, step=step)
 
+    def log_images(self, step: int, images: Dict[str, "object"]):
+        """Log validation images to the active trackers (reference logs
+        per-mode validation grids to wandb/tensorboard,
+        train_unziplora.py:2329-2340). images: name -> (H, W, 3) uint8
+        or float [0, 1] array. No-op for the JSONL sink (paths are
+        logged as scalar-less entries instead)."""
+        import numpy as np
+        for name, img in images.items():
+            arr = np.asarray(img)
+            if arr.dtype != np.uint8:
+                arr = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
+            if self._tb is not None:
+                self._tb.add_image(name, arr, step, dataformats="HWC")
+            if self._wandb is not None:
+                import wandb
+                self._wandb.log({name: wandb.Image(arr)}, step=step)
+        self._f.write(json.dumps({
+            "step": int(step), "time": time.time(),
+            "validation_images": sorted(images)}) + "\n")
+        self._f.flush()
+
     def close(self):
         self._f.close()
         if self._tb is not None:
