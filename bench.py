@@ -252,10 +252,13 @@ def build_text_encode(tiny: bool):
     return execute
 
 
-def build_decode(tiny: bool, frames: int, res: int, chunk: int = 4):
+def build_decode(tiny: bool, frames: int, res: int, chunk: int = 2):
     """fp32 per-frame VAE decode in per-chunk calls (the tunnel kills
     single executions > ~1 min; a 16-frame 1024^2 decode is ~3.6 s, so
-    chunked calls are both the production memory shape AND watchdog-safe)."""
+    chunked calls are both the production memory shape AND watchdog-safe).
+    chunk 2 = the round-1 measured production config: chunk 4's fp32
+    decoder activations OOM 16 GB HBM with the UNet+CLIP weights
+    resident."""
     from video_style_transfer_tpu.config import VAEConfig
     from video_style_transfer_tpu.models.vae import init_vae
     from video_style_transfer_tpu.pipelines.image import decode_images
@@ -380,6 +383,14 @@ def main():
     # unsharded — it is milliseconds); real multi-chip hardware is not
     # reachable from this session.
     text_s = timed(build_text_encode(args.tiny), seed + 101)
+    # release the denoise program + its params before the decode
+    # measurement: all three WEIGHT sets coexist in serving (~7 GB), but
+    # the bench's denoise closure additionally pins the LoRA state and
+    # compiled-program buffers that, with chunked fp32 decoder
+    # activations, overflow the 16 GB chip
+    del execute
+    import gc
+    gc.collect()
     decode_s = timed(build_decode(args.tiny, args.frames, args.res),
                      seed + 202)
     e2e_s = text_s + denoise_s + decode_s

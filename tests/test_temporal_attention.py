@@ -97,3 +97,25 @@ def test_bf16_io():
         np.testing.assert_allclose(np.asarray(g_, np.float32),
                                    np.asarray(w_, np.float32),
                                    rtol=3e-2, atol=3e-2)
+
+
+def test_bwd_kernel_matches_xla_bwd_training_shape(monkeypatch):
+    """Pallas backward vs the per-head XLA vjp fallback at the stage-2
+    training shape (f=8, d=40), bf16 inputs."""
+    f, p, n, h = 8, 320, 256, 8
+    qs = [_mk(i, (p, n), jnp.bfloat16) for i in range(f)]
+    ks = [_mk(10 + i, (p, n), jnp.bfloat16) for i in range(f)]
+    vs = [_mk(20 + i, (p, n), jnp.bfloat16) for i in range(f)]
+
+    def loss(qs_, ks_, vs_):
+        out = temporal_attention_frames(qs_, ks_, vs_, num_heads=h)
+        return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in out)
+
+    g_kernel = jax.grad(loss, argnums=(0, 1, 2))(qs, ks, vs)
+    monkeypatch.setenv("VST_TA_XLA_BWD", "1")
+    g_xla = jax.grad(loss, argnums=(0, 1, 2))(qs, ks, vs)
+    for lk, lx in zip(g_kernel, g_xla):
+        for a, b in zip(lk, lx):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       rtol=5e-2, atol=5e-2)

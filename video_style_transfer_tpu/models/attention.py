@@ -57,20 +57,43 @@ def _proj(p, st, name, x, x_c, x_s, mode):
     return y
 
 
+def _plain(pp) -> bool:
+    return "lora" not in pp and "tlora" not in pp
+
+
 def attention(p, x, ctx: Optional[Tuple] = None, *, heads: int,
               mode: str = "base", state=None, impl: str = "auto"):
     """x: (N, S, C). ctx: None for self-attention, or a
     (combined, content, style) tuple of encoder states for cross-attention
     (content/style may be None -> fall back to combined)."""
-    q = _proj(p, state, "to_q", x, x, x, mode)
-    if ctx is None:
-        c = c_c = c_s = x
+    qkv_names = ("to_q", "to_k", "to_v")
+    if ctx is None and all(_plain(p[n]) for n in qkv_names):
+        # fused q/k/v projection: one (C, 3*inner) matmul replaces three
+        # — the folded serving path (lora/surgery.fold_unziplora) hits
+        # this on every self-attention. Concatenating the kernels is a
+        # 3x-kernel-size copy, negligible next to the activation matmul,
+        # and the split result is bitwise identical to separate dots
+        # (matmul columns are independent).
+        w = jnp.concatenate([p[n]["kernel"].astype(x.dtype)
+                             for n in qkv_names], axis=1)
+        qkv = jnp.dot(x, w)
+        if any("bias" in p[n] for n in qkv_names):
+            inner = p["to_q"]["kernel"].shape[1]
+            qkv = qkv + jnp.concatenate(
+                [p[n].get("bias",
+                          jnp.zeros((inner,), x.dtype)).astype(qkv.dtype)
+                 for n in qkv_names])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
     else:
-        c, c_c, c_s = ctx
-        c_c = c if c_c is None else c_c
-        c_s = c if c_s is None else c_s
-    k = _proj(p, state, "to_k", c, c_c, c_s, mode)
-    v = _proj(p, state, "to_v", c, c_c, c_s, mode)
+        q = _proj(p, state, "to_q", x, x, x, mode)
+        if ctx is None:
+            c = c_c = c_s = x
+        else:
+            c, c_c, c_s = ctx
+            c_c = c if c_c is None else c_c
+            c_s = c if c_s is None else c_s
+        k = _proj(p, state, "to_k", c, c_c, c_s, mode)
+        v = _proj(p, state, "to_v", c, c_c, c_s, mode)
 
     q = split_heads(q, heads)
     k = split_heads(k, heads)

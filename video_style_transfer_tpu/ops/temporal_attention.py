@@ -16,9 +16,10 @@ leading dim costs nothing, and every kernel block is a clean 2-D
 (head_dim, block_n) tile with zero layout offsets (Mosaic rejects
 reductions over sublane-offset slices of 3-D blocks).
 
-Differentiation: custom_vjp whose backward recomputes through the XLA
-reference formulation (F is tiny, so the materialized (H,F,F,N) weights
-are small; training runs at F=8).
+Differentiation: custom_vjp with a dedicated pixel-lanes backward kernel
+(one pass recomputes the softmax and emits dq/dk/dv; dk/dv accumulate
+across frames in f32 VMEM scratch). Set VST_TA_XLA_BWD=1 to fall back to
+the per-head XLA vjp loop for debugging.
 """
 from __future__ import annotations
 
@@ -125,10 +126,104 @@ def _ta_fwd(qs, ks, vs, num_heads, scale, block_n):
     return out, (qs, ks, vs)
 
 
-def _ta_bwd(num_heads, scale, block_n, res, g):
-    """Per-head backward: every tensor stays (F, D, N) — the stacked
-    (F, H, D, N) reshape form made XLA pick a layout with 3.2x sublane
-    padding, which alone OOMed the full-scale stage-2 train step."""
+def _bwd_kernel(*refs, num_frames: int, scale: float):
+    """refs: F q, F k, F v, F do inputs; F dq, F dk, F dv outputs;
+    2F f32 scratches (dk/dv frame accumulators). Each block is
+    (head_dim, block_n) — one head per grid row, pixels in lanes.
+
+    Per pixel n and head: recompute w_fg = softmax_g(scale * q_f . k_g),
+    dp_fg = do_f . v_g, delta_f = sum_g w_fg dp_fg,
+    ds_fg = w_fg (dp_fg - delta_f) scale; then
+    dq_f = sum_g ds_fg k_g, dk_g = sum_f ds_fg q_f,
+    dv_g = sum_f w_fg do_f."""
+    f_ = num_frames
+    q_refs = refs[:f_]
+    k_refs = refs[f_:2 * f_]
+    v_refs = refs[2 * f_:3 * f_]
+    do_refs = refs[3 * f_:4 * f_]
+    dq_refs = refs[4 * f_:5 * f_]
+    dk_refs = refs[5 * f_:6 * f_]
+    dv_refs = refs[6 * f_:7 * f_]
+    dk_scr = refs[7 * f_:8 * f_]
+    dv_scr = refs[8 * f_:9 * f_]
+
+    for g in range(f_):
+        dk_scr[g][...] = jnp.zeros_like(dk_scr[g])
+        dv_scr[g][...] = jnp.zeros_like(dv_scr[g])
+
+    s2 = scale * LOG2E
+    for f in range(f_):
+        qf = q_refs[f][...]                            # (D, bn)
+        dof = do_refs[f][...]
+        # recompute the softmax row exactly as the forward kernel does
+        logits = [jnp.sum((qf * k_refs[g][...]).astype(jnp.float32),
+                          axis=0) * s2                 # (bn,)
+                  for g in range(f_)]
+        m = logits[0]
+        for g in range(1, f_):
+            m = jnp.maximum(m, logits[g])
+        ws = [jnp.exp2(lg - m) for lg in logits]
+        denom = ws[0]
+        for g in range(1, f_):
+            denom = denom + ws[g]
+        inv = 1.0 / denom
+        dps = [jnp.sum((dof * v_refs[g][...]).astype(jnp.float32), axis=0)
+               for g in range(f_)]
+        delta = ws[0] * inv * dps[0]
+        for g in range(1, f_):
+            delta = delta + ws[g] * inv * dps[g]
+
+        dq_acc = None
+        qf32 = qf.astype(jnp.float32)
+        dof32 = dof.astype(jnp.float32)
+        for g in range(f_):
+            w_g = ws[g] * inv                          # (bn,)
+            ds_g = w_g * (dps[g] - delta) * scale
+            contrib = ds_g[None, :] * k_refs[g][...].astype(jnp.float32)
+            dq_acc = contrib if dq_acc is None else dq_acc + contrib
+            dk_scr[g][...] += ds_g[None, :] * qf32
+            dv_scr[g][...] += w_g[None, :] * dof32
+        dq_refs[f][...] = dq_acc.astype(dq_refs[f].dtype)
+
+    for g in range(f_):
+        dk_refs[g][...] = dk_scr[g][...].astype(dk_refs[g].dtype)
+        dv_refs[g][...] = dv_scr[g][...].astype(dv_refs[g].dtype)
+
+
+def _bwd_kernel_call(qs, ks, vs, dos, *, num_heads: int, scale: float,
+                     block_n: int, interpret=None):
+    if interpret is None:
+        interpret = should_interpret()
+    f_ = len(qs)
+    p_, n_ = qs[0].shape
+    d = p_ // num_heads
+    bn = min(block_n, n_)
+    grid = (num_heads, pl.cdiv(n_, bn))
+    spec = pl.BlockSpec((d, bn), lambda h, i: (h, i))
+    out = pl.pallas_call(
+        functools.partial(_bwd_kernel, num_frames=f_, scale=scale),
+        grid=grid,
+        in_specs=[spec] * (4 * f_),
+        out_specs=[spec] * (3 * f_),
+        out_shape=[jax.ShapeDtypeStruct((p_, n_), qs[0].dtype)] * (3 * f_),
+        scratch_shapes=[pltpu.VMEM((d, bn), jnp.float32)] * (2 * f_),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=11 * p_ * f_ * f_ * n_,
+            bytes_accessed=7 * p_ * f_ * n_ * qs[0].dtype.itemsize,
+            transcendentals=num_heads * f_ * f_ * n_),
+        interpret=interpret,
+    )(*qs, *ks, *vs, *dos)
+    return out[:f_], out[f_:2 * f_], out[2 * f_:]
+
+
+def _ta_bwd_xla(num_heads, scale, res, g):
+    """Per-head XLA vjp fallback: every tensor stays (F, D, N) — the
+    stacked (F, H, D, N) reshape form made XLA pick a layout with 3.2x
+    sublane padding, which alone OOMed the full-scale stage-2 train
+    step."""
     qs, ks, vs = res
     p_, n_ = qs[0].shape
     d = p_ // num_heads
@@ -158,6 +253,17 @@ def _ta_bwd(num_heads, scale, block_n, res, g):
     dvs = [jnp.concatenate([dq_h[h][2][f] for h in range(num_heads)],
                            axis=0) for f in range(f_)]
     return dqs, dks, dvs
+
+
+def _ta_bwd(num_heads, scale, block_n, res, g):
+    import os
+    if os.environ.get("VST_TA_XLA_BWD") == "1":
+        return _ta_bwd_xla(num_heads, scale, res, g)
+    qs, ks, vs = res
+    dqs, dks, dvs = _bwd_kernel_call(qs, ks, vs, list(g),
+                                     num_heads=num_heads, scale=scale,
+                                     block_n=block_n)
+    return list(dqs), list(dks), list(dvs)
 
 
 _ta_frames.defvjp(_ta_fwd, _ta_bwd)
