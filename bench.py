@@ -75,7 +75,8 @@ def _zeros_init(fn, *a, **kw):
 def build(frames: int, res: int, steps: int, tiny: bool, scan: bool,
           workload: str = "video", impl: str = "auto",
           const: bool = False, randinit: bool = False,
-          autolayout: bool = False, batch: int = 1):
+          autolayout: bool = False, batch: int = 1,
+          steps_per_call: int = 1):
     from video_style_transfer_tpu.config import UNetConfig
     from video_style_transfer_tpu.lora.surgery import insert_unziplora
     from video_style_transfer_tpu.models.unet import init_unet
@@ -185,6 +186,43 @@ def build(frames: int, res: int, steps: int, tiny: bool, scan: bool,
         eps = eps_fn(model_in, t)
         return euler_step(x, eps, sigma, sigma_next)
 
+    sig = jnp.asarray(table["sigmas"], jnp.float32)
+    ts = jnp.asarray(table["timesteps"], jnp.float32)
+
+    if steps_per_call > 1 and not const and not autolayout:
+        # k steps per fetched call via an in-program lax.scan: amortizes
+        # this tunnel's fixed ~28.5 ms RPC floor (6% of a 480 ms image
+        # step at k=1) while keeping each execution well under the
+        # ~1-minute watchdog. Same math as the production scan sampler.
+        assert steps % steps_per_call == 0, (steps, steps_per_call)
+        k = steps_per_call
+
+        def k_steps(params, state, x, sigs, ts):
+            eps_fn = make_cfg_denoiser(params, cfg, uncond_c, cond_c,
+                                       cfg_scale=7.5, mode="both",
+                                       state=state, num_frames=nf,
+                                       impl=impl)
+
+            def body(x_, i):
+                model_in = scale_model_input(x_, sigs[i])
+                eps = eps_fn(model_in, ts[i])
+                return euler_step(x_, eps, sigs[i], sigs[i + 1]), None
+
+            x, _ = jax.lax.scan(body, x, jnp.arange(k))
+            return x
+
+        _jitted_k = jax.jit(k_steps)
+
+        def execute(seed):
+            x = jax.random.normal(jax.random.PRNGKey(seed), lat_shape, dt)
+            x = x * table["init_sigma"].astype(dt)
+            for i in range(steps // k):
+                x = _jitted_k(params, state, x, sig[i * k: i * k + k + 1],
+                              ts[i * k: i * k + k])
+            return float(jnp.sum(x.astype(jnp.float32)))
+
+        return execute
+
     if const:
         one_step = jax.jit(functools.partial(step_math, params, state))
     elif autolayout:
@@ -205,9 +243,6 @@ def build(frames: int, res: int, steps: int, tiny: bool, scan: bool,
     else:
         _jitted = jax.jit(step_math)
         one_step = functools.partial(_jitted, params, state)
-
-    sig = jnp.asarray(table["sigmas"], jnp.float32)
-    ts = jnp.asarray(table["timesteps"], jnp.float32)
 
     def execute(seed):
         x = jax.random.normal(jax.random.PRNGKey(seed), lat_shape, dt)
@@ -320,6 +355,11 @@ def main():
                          "(default 4 — batched serving is the production "
                          "image mode; the CFG pair of a single sample "
                          "underutilizes the chip)")
+    ap.add_argument("--steps_per_call", type=int, default=None,
+                    help="denoise steps per fetched execution (scan "
+                         "inside the program; amortizes the tunnel's "
+                         "~28.5 ms RPC floor; default 5, must divide "
+                         "--steps; 1 restores the per-step protocol)")
     ap.add_argument("--denoise_only", action="store_true",
                     help="video: emit the denoise-only fps metric instead "
                          "of the measured end-to-end (text-encode + "
@@ -334,11 +374,14 @@ def main():
         args.steps = 50  # reference image default (infer.py:99)
     if args.batch is None:
         args.batch = 4 if args.workload == "image" else 1
+    if args.steps_per_call is None:
+        args.steps_per_call = 5 if args.steps % 5 == 0 else 1
     _wait_for_backend()
     execute = build(args.frames, args.res, args.steps, args.tiny,
                     args.scan, args.workload, args.impl,
                     const=args.const, randinit=args.randinit,
-                    autolayout=args.autolayout, batch=args.batch)
+                    autolayout=args.autolayout, batch=args.batch,
+                    steps_per_call=args.steps_per_call)
     seed = int(time.time() * 1e3) % (2 ** 31)
 
     def timed(fn, warm_seed):

@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--res", type=int, default=1024)
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--workload", default="video",
+                    choices=["video", "image"])
+    ap.add_argument("--batch", type=int, default=4,
+                    help="image workload serving batch")
     args = ap.parse_args()
 
     try:
@@ -39,7 +43,8 @@ def main():
     execute = bench.build(
         frames=4 if args.tiny else args.frames,
         res=16 if args.tiny else args.res,
-        steps=2, tiny=args.tiny, scan=False, workload="video")
+        steps=2, tiny=args.tiny, scan=False, workload=args.workload,
+        batch=args.batch)
 
     execute(0)  # compile + warm outside the trace
 

@@ -96,9 +96,24 @@ def _out_proj(p, of):
 def _temporal_attention(p, x, *, heads: int, impl: str = "auto"):
     """x: (F, N, C) -> (F, N, C); frame-axis self-attention per pixel."""
     f_ = x.shape[0]
-    qs = [_proj_pixel_lanes(p["to_q"], x[f]) for f in range(f_)]
-    ks = [_proj_pixel_lanes(p["to_k"], x[f]) for f in range(f_)]
-    vs = [_proj_pixel_lanes(p["to_v"], x[f]) for f in range(f_)]
+    fusable = all("tlora" not in p[n] and "bias" not in p[n]
+                  for n in ("to_q", "to_k", "to_v"))
+    if fusable:
+        # serving path (temporal LoRA folded/absent): one (C, 3P)
+        # matmul per frame instead of three — output rows slice into
+        # bitwise-identical q/k/v pixel-lanes blocks
+        w = jnp.concatenate([p[n]["kernel"] for n in
+                             ("to_q", "to_k", "to_v")], axis=1)
+        pdim = p["to_q"]["kernel"].shape[1]
+        qkv = [jnp.einsum("cp,nc->pn", w.astype(x.dtype), x[f])
+               for f in range(f_)]
+        qs = [y[:pdim] for y in qkv]
+        ks = [y[pdim:2 * pdim] for y in qkv]
+        vs = [y[2 * pdim:] for y in qkv]
+    else:
+        qs = [_proj_pixel_lanes(p["to_q"], x[f]) for f in range(f_)]
+        ks = [_proj_pixel_lanes(p["to_k"], x[f]) for f in range(f_)]
+        vs = [_proj_pixel_lanes(p["to_v"], x[f]) for f in range(f_)]
     impl_ta = "xla" if impl == "xla" else "auto"
     os_ = temporal_attention_frames(qs, ks, vs, num_heads=heads,
                                     impl=impl_ta)

@@ -30,10 +30,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Tuned on v5e at SDXL shapes (B*H=80, S=4096, D=64):
-#   512/512: 23 TF/s, 512/1024: 38 TF/s, 1024/1024: 38 TF/s (XLA: 8 TF/s)
+# Tuned on v5e at SDXL shapes. Round 1 (BHSD kernel, B*H=80, S=4096,
+# D=64): 512/512: 23 TF/s, 512/1024: 38, 1024/1024: 38 (XLA: 8). Round 2
+# (packed kernel at the serving shape B=32, S=4096, H=10):
+# 1024/2048 runs ~13% faster floor-corrected than 1024/1024
+# (benchmarks/flash_sweep_packed.py).
 DEFAULT_BLOCK_Q = 1024
-DEFAULT_BLOCK_K = 1024
+DEFAULT_BLOCK_K = 2048
 from video_style_transfer_tpu.ops.common import LOG2E, should_interpret
 
 NEG_INF = -1e30
