@@ -8,7 +8,7 @@ export STAGE2_DIR=${STAGE2_DIR:-out/animatediff_biker}
 
 python -m video_style_transfer_tpu.cli.infer_video \
   --pretrained_model_name_or_path "$MODEL_NAME" \
-  --motion_checkpoint "$STAGE2_DIR/motion_modules.safetensors" \
+  --motion_checkpoint "$STAGE2_DIR" \
   --unziplora_name_or_path "$STAGE1_DIR" \
   --unziplora_name horse \
   --prompt "a sbu biker in szn style riding in a park" \

@@ -4,6 +4,9 @@
 set -euo pipefail
 
 export MODEL_NAME=${MODEL_NAME:-/path/to/stable-diffusion-xl-base-1.0}
+# diffusers MotionAdapter dir/safetensors or a trained motion_modules.pth
+# (reference: guoyww/animatediff-motion-adapter-sdxl-beta)
+export MOTION_ADAPTER=${MOTION_ADAPTER:-/path/to/animatediff-motion-adapter-sdxl-beta}
 export VIDEO_DIR=${VIDEO_DIR:-instance_videos/male_biker}
 export STAGE1_DIR=${STAGE1_DIR:-out/unziplora_biker}
 export OUTPUT_DIR=${OUTPUT_DIR:-out/animatediff_biker}
@@ -14,6 +17,8 @@ fi
 
 python -m video_style_transfer_tpu.cli.train_animatediff \
   --pretrained_model_name_or_path "$MODEL_NAME" \
+  --motion_adapter_path "$MOTION_ADAPTER" \
+  --checkpoint_format pth \
   --unziplora_name_or_path "$STAGE1_DIR" \
   --unziplora_name horse \
   --video_dir "$VIDEO_DIR" \

@@ -226,3 +226,29 @@ def test_infer_video_accepts_pth(tmp_path):
                   "--modes", "both",
                   "--output_dir", str(tmp_path / "videos")])
     assert len(outs) == 1 and os.path.getsize(outs[0]) > 0
+
+
+@pytest.mark.slow
+@pytest.mark.e2e
+def test_train_animatediff_with_motion_adapter(tmp_path):
+    """Stage-2 CLI starts from imported adapter weights and exports the
+    reference's .pth format (VERDICT item 1c + reference
+    load_unet_with_motion surface)."""
+    from video_style_transfer_tpu.lora.interop import save_safetensors
+
+    cfg, _ = _tiny_params()
+    sd = {k: v * 0.05 for k, v in synthetic_motion_sd(cfg, seed=5).items()}
+    adapter = str(tmp_path / "adapter.safetensors")
+    save_safetensors(sd, adapter)
+
+    from video_style_transfer_tpu.cli.train_animatediff import main
+    main(["--smoke", "--smoke_steps", "1", "--prompt", "p",
+          "--motion_adapter_path", adapter,
+          "--output_dir", str(tmp_path / "out"),
+          "--lr_warmup_steps", "1", "--checkpointing_steps", "50",
+          "--checkpoint_format", "pth"])
+    out = tmp_path / "out" / "motion_modules.pth"
+    assert out.exists()
+    loaded = load_motion_checkpoint(str(out))
+    # trained checkpoint keys = adapter keys + pos_embed.pe buffers
+    assert {k for k in loaded if not k.endswith("pos_embed.pe")} == set(sd)
