@@ -14,6 +14,7 @@ animatediff/utils.py:13-53) are first-class sub-modules gated by
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -213,6 +214,18 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps, ctx: Tuple,
     groups = cfg.norm_num_groups
     motion_on = cfg.use_motion_modules and num_frames > 1
 
+    # Training memory: with remat on, checkpoint every component at the
+    # unet level so ONLY the inter-component hidden states are stored
+    # for the backward. Storing component internals (each resnet's
+    # GN/silu/conv temps, each motion module's norm/proj_in/proj_out at
+    # the 16384-token level-0 shapes) costs multi-GB of HLO temps at
+    # 8f@1024^2 — with the diffusers-layout double-attn motion blocks
+    # that pushed the stage-2 step past 16 GB HBM. The inner per-block
+    # remats (transformer/motion scan bodies) stay on, bounding replay
+    # memory to one block at a time.
+    ckpt = jax.checkpoint if remat else (lambda f: f)
+
+    @ckpt
     def run_motion(mm, h):
         return motion_module(
             mm, h, num_frames=num_frames,
@@ -221,6 +234,17 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps, ctx: Tuple,
             max_seq_length=cfg.motion_max_seq_length, impl=impl,
             remat=remat)
 
+    _resnet = ckpt(functools.partial(resnet_block, num_groups=groups,
+                                     eps=cfg.norm_eps))
+
+    def _attn_raw(ap, h, ctx, st, heads):
+        return transformer_2d(ap, h, ctx, heads=heads,
+                              norm_num_groups=groups, mode=mode, state=st,
+                              impl=impl, remat=remat)
+
+    _attn = (jax.checkpoint(_attn_raw, static_argnums=(4,)) if remat
+             else _attn_raw)
+
     # ---- down path --------------------------------------------------------
     h = layers.conv2d(params["conv_in"], sample)
     skips = [h]
@@ -228,14 +252,11 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps, ctx: Tuple,
         btype = cfg.down_block_types[i]
         tf_idx = i
         for j, rp in enumerate(block["resnets"]):
-            h = resnet_block(rp, h, emb, num_groups=groups, eps=cfg.norm_eps)
+            h = _resnet(rp, h, emb)
             if btype == CROSS:
-                h = transformer_2d(
-                    block["attentions"][j], h, ctx,
-                    heads=cfg.num_attention_heads[tf_idx],
-                    norm_num_groups=groups, mode=mode,
-                    state=_sub(state, "down_blocks", i, "attentions", j),
-                    impl=impl, remat=remat)
+                h = _attn(block["attentions"][j], h, ctx,
+                          _sub(state, "down_blocks", i, "attentions", j),
+                          cfg.num_attention_heads[tf_idx])
             if motion_on and block.get("motion_modules"):
                 h = run_motion(block["motion_modules"][j], h)
             skips.append(h)
@@ -245,17 +266,13 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps, ctx: Tuple,
 
     # ---- mid --------------------------------------------------------------
     mid = params["mid_block"]
-    h = resnet_block(mid["resnets"][0], h, emb, num_groups=groups,
-                     eps=cfg.norm_eps)
-    h = transformer_2d(mid["attentions"][0], h, ctx,
-                       heads=cfg.num_attention_heads[-1],
-                       norm_num_groups=groups, mode=mode,
-                       state=_sub(state, "mid_block", "attentions", 0),
-                       impl=impl, remat=remat)
+    h = _resnet(mid["resnets"][0], h, emb)
+    h = _attn(mid["attentions"][0], h, ctx,
+              _sub(state, "mid_block", "attentions", 0),
+              cfg.num_attention_heads[-1])
     if motion_on and mid.get("motion_modules"):
         h = run_motion(mid["motion_modules"][0], h)
-    h = resnet_block(mid["resnets"][1], h, emb, num_groups=groups,
-                     eps=cfg.norm_eps)
+    h = _resnet(mid["resnets"][1], h, emb)
 
     # ---- up path -----------------------------------------------------------
     for i, block in enumerate(params["up_blocks"]):
@@ -264,14 +281,11 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps, ctx: Tuple,
         for j, rp in enumerate(block["resnets"]):
             skip = skips.pop()
             h = jnp.concatenate([h, skip], axis=-1)
-            h = resnet_block(rp, h, emb, num_groups=groups, eps=cfg.norm_eps)
+            h = _resnet(rp, h, emb)
             if btype == CROSS:
-                h = transformer_2d(
-                    block["attentions"][j], h, ctx,
-                    heads=cfg.num_attention_heads[tf_idx],
-                    norm_num_groups=groups, mode=mode,
-                    state=_sub(state, "up_blocks", i, "attentions", j),
-                    impl=impl, remat=remat)
+                h = _attn(block["attentions"][j], h, ctx,
+                          _sub(state, "up_blocks", i, "attentions", j),
+                          cfg.num_attention_heads[tf_idx])
             if motion_on and block.get("motion_modules"):
                 h = run_motion(block["motion_modules"][j], h)
         if "upsamplers" in block:

@@ -53,7 +53,11 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]                       # (bq, d)
+    # fold scale*log2(e) into q once per (bq, d) tile: one VPU mul over
+    # bq*d elements instead of bq*bk logits (d=64 vs bk=2048 — 32x fewer
+    # ops on the VPU softmax chain, the kernel's binding constraint).
+    # Costs one extra input-dtype rounding of q (<= bf16's own 2^-9).
+    q = q_ref[0] * (scale * LOG2E)     # (bq, d)
     k = k_ref[0]                       # (bk, d)
     v = v_ref[0]                       # (bk, d)
 
@@ -65,10 +69,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
         row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
         v = jnp.where(row < tail, v, 0)
 
-    # logits in base-2 space: s2 = (q k^T) * scale * log2(e)
+    # logits in base-2 space (scale*log2(e) pre-folded into q above)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * (scale * LOG2E)  # (bq, bk)
+        preferred_element_type=jnp.float32)                    # (bq, bk)
 
     if kv_seq % block_k != 0:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -167,7 +171,9 @@ def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]                       # (bq, pack*d)
+    # scale*log2(e) folded into q once per block (covers every packed
+    # head's slice) — see _attn_kernel comment
+    q = q_ref[0] * (scale * LOG2E)     # (bq, pack*d)
     k = k_ref[0]                       # (bk, pack*d)
     v = v_ref[0]                       # (bk, pack*d)
 
@@ -182,7 +188,7 @@ def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
         sl = slice(t * head_dim, (t + 1) * head_dim)
         s = jax.lax.dot_general(
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * (scale * LOG2E)
+            preferred_element_type=jnp.float32)
         if masked:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < tail, s, NEG_INF)
@@ -295,9 +301,11 @@ def _recompute_p_ds(q, k, v, do, lse, delta, *, scale, kv_seq, block_k, j,
         v = jnp.where(row < kv_tail, v, 0)
         k = jnp.where(row < kv_tail, k, 0)
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) \
-        * (scale * LOG2E)
+    # prescaled q (same fold + op order as the forward kernels, so the
+    # recomputed p matches the saved lse bit-for-bit); callers keep the
+    # ORIGINAL q for the dk = ds^T q contraction
+    s = jax.lax.dot_general(q * (scale * LOG2E), k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
     if kv_seq % block_k != 0:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_tail, s, NEG_INF)
