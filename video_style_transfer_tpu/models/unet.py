@@ -171,7 +171,7 @@ def _sub(state, *path):
 
 def unet_apply(params, cfg: UNetConfig, sample, timesteps, ctx: Tuple,
                pooled_text, time_ids, *, mode: str = "base", state=None,
-               num_frames: int = 1, impl: str = "auto", remat: bool = False):
+               num_frames: int = 1, impl: str = "auto", remat=False):
     """Denoiser forward.
 
     sample:      (N, H, W, C_in), N = batch * num_frames
@@ -214,16 +214,20 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps, ctx: Tuple,
     groups = cfg.norm_num_groups
     motion_on = cfg.use_motion_modules and num_frames > 1
 
-    # Training memory: with remat on, checkpoint every component at the
-    # unet level so ONLY the inter-component hidden states are stored
-    # for the backward. Storing component internals (each resnet's
-    # GN/silu/conv temps, each motion module's norm/proj_in/proj_out at
-    # the 16384-token level-0 shapes) costs multi-GB of HLO temps at
-    # 8f@1024^2 — with the diffusers-layout double-attn motion blocks
-    # that pushed the stage-2 step past 16 GB HBM. The inner per-block
-    # remats (transformer/motion scan bodies) stay on, bounding replay
-    # memory to one block at a time.
-    ckpt = jax.checkpoint if remat else (lambda f: f)
+    # Remat policy: False = none (serving); True = inner scan-body remat
+    # only (transformer/motion blocks — stage-1's memory fits with this
+    # and it avoids ~30% resnet/GN recompute); "component" = additionally
+    # checkpoint every component at the unet level so ONLY the
+    # inter-component hidden states are stored. Component internals
+    # (each resnet's GN/silu/conv temps, each motion module's
+    # norm/proj_in/proj_out at the 16384-token level-0 shapes) cost
+    # multi-GB of HLO temps at 8f@1024^2 — with the diffusers-layout
+    # double-attn motion blocks that pushed the stage-2 step past 16 GB
+    # HBM. Inner remats stay on under "component", bounding backward
+    # replay memory to one block at a time.
+    component = remat == "component"
+    inner = bool(remat)
+    ckpt = jax.checkpoint if component else (lambda f: f)
 
     @ckpt
     def run_motion(mm, h):
@@ -232,7 +236,7 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps, ctx: Tuple,
             heads=cfg.motion_num_attention_heads,
             norm_num_groups=groups,
             max_seq_length=cfg.motion_max_seq_length, impl=impl,
-            remat=remat)
+            remat=inner)
 
     _resnet = ckpt(functools.partial(resnet_block, num_groups=groups,
                                      eps=cfg.norm_eps))
@@ -240,9 +244,9 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps, ctx: Tuple,
     def _attn_raw(ap, h, ctx, st, heads):
         return transformer_2d(ap, h, ctx, heads=heads,
                               norm_num_groups=groups, mode=mode, state=st,
-                              impl=impl, remat=remat)
+                              impl=impl, remat=inner)
 
-    _attn = (jax.checkpoint(_attn_raw, static_argnums=(4,)) if remat
+    _attn = (jax.checkpoint(_attn_raw, static_argnums=(4,)) if component
              else _attn_raw)
 
     # ---- down path --------------------------------------------------------

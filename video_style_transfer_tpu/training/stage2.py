@@ -163,7 +163,7 @@ def stage2_loss(params, unet_cfg: UNetConfig, sched, batch, key, *,
 def make_train_step(unet_cfg: UNetConfig, sched, optimizer, pairs, *,
                     lambda_orth: float = 1e-4,
                     prediction_type: str = "epsilon", mode: str = "both",
-                    lora_state=None, impl: str = "auto", remat: bool = True,
+                    lora_state=None, impl: str = "auto", remat=True,
                     mask=None):
     """Returns step(state, batch, key) -> (state, metrics). jit outside
     (optionally under a mesh with batch rows sharded).
@@ -173,6 +173,12 @@ def make_train_step(unet_cfg: UNetConfig, sched, optimizer, pairs, *,
     stop-gradiented and their gradient buffers never exist (the full
     frozen-gradient tree is ~5.9 GB for the SDXL motion UNet, which
     alone decided whether the 8f@1024 step fits a 16 GB chip)."""
+    # Stage 2 needs the component-level remat policy: the double-attn
+    # motion blocks' module-level temps (norm/proj at 16384-token level-0
+    # shapes) push the 8f@1024^2 step past 16 GB HBM under the inner-only
+    # policy stage 1 uses. See unet_apply's remat docstring.
+    if remat is True:
+        remat = "component"
 
     def step(state: Stage2State, batch, key):
         params = state.params
