@@ -129,3 +129,54 @@ def test_shape_fuzz(sq, sk, bq, bk):
     want = sdpa_xla(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-5)
+
+
+class TestShortKv:
+    """sdpa_shortkv: the lane-native (B,S,H,K)-logits path that serves
+    cross-attention (kv = 77 << one flash kv block)."""
+
+    def test_matches_xla(self):
+        from video_style_transfer_tpu.ops.attention import sdpa_shortkv
+        q = _rand((2, 256, 4, 64), 40)
+        k = _rand((2, 77, 4, 64), 41)
+        v = _rand((2, 77, 4, 64), 42)
+        got = sdpa_shortkv(q, k, v)
+        want = sdpa_xla(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_bf16_io_and_grads(self):
+        from video_style_transfer_tpu.ops.attention import sdpa_shortkv
+        q = _rand((1, 128, 2, 64), 43, jnp.bfloat16)
+        k = _rand((1, 77, 2, 64), 44, jnp.bfloat16)
+        v = _rand((1, 77, 2, 64), 45, jnp.bfloat16)
+        out = sdpa_shortkv(q, k, v)
+        assert out.dtype == jnp.bfloat16
+        g = jax.grad(lambda q, k, v: jnp.sum(
+            sdpa_shortkv(q, k, v).astype(jnp.float32) ** 2),
+            argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(lambda q, k, v: jnp.sum(
+            sdpa_xla(q, k, v).astype(jnp.float32) ** 2),
+            argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g, gx):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       rtol=5e-2, atol=5e-2)
+
+    def test_auto_dispatch_routes_short_kv(self):
+        """auto must pick shortkv for seq_k <= 128 regardless of seq_q,
+        and never hand cross-attention to the flash kernel."""
+        from video_style_transfer_tpu.ops import attention as A
+        calls = []
+        orig = A.sdpa_shortkv
+        try:
+            A.sdpa_shortkv = lambda q, k, v, **kw: (
+                calls.append("shortkv") or orig(q, k, v, **kw))
+            q = _rand((1, 2048, 2, 64), 46)
+            k = _rand((1, 77, 2, 64), 47)
+            v = _rand((1, 77, 2, 64), 48)
+            out = A.sdpa(q, k, v, impl="auto")
+            assert calls == ["shortkv"]
+            assert out.shape == q.shape
+        finally:
+            A.sdpa_shortkv = orig

@@ -24,6 +24,14 @@ import jax.numpy as jnp
 # this threshold the fused kernel beats XLA's unfused softmax-matmul chain.
 _FLASH_MIN_SEQ = 1024
 
+# Cross-attention kv (77 text tokens) is far below one flash kv-block, so
+# the kernel runs latency-bound there (~3-8 ms/call, 3-4 TF/s measured at
+# the serving shapes). A lane-native logits layout — (B, S, H, K) with K
+# padded to the 128 lanes, softmax on the minor axis, no transposes —
+# measures 0.16-0.23 ms (80-112 TF/s) at the same shapes
+# (benchmarks/xattn_sweep.py). Route seq_k <= this bound there.
+_SHORT_KV_MAX = 128
+
 
 def sdpa_xla(q, k, v, *, scale: Optional[float] = None):
     """Reference-math attention via dot_general; fp32 softmax."""
@@ -42,10 +50,32 @@ def sdpa_xla(q, k, v, *, scale: Optional[float] = None):
     return jnp.swapaxes(out.astype(orig_dtype), 1, 2)
 
 
+def sdpa_shortkv(q, k, v, *, scale: Optional[float] = None):
+    """Short-kv attention in the BSHD-native (B, S, H, K) logits layout.
+
+    Keeps q/k/v in their (B, S, H, D) layout end-to-end: the logits tensor
+    puts kv on the minor (lane) axis so the fp32 softmax reduces across
+    lanes, and neither einsum needs a materialized transpose. Mathematically
+    identical to sdpa_xla; ~5-30x faster than the flash kernel when
+    seq_k << one kv block (cross-attention's 77 text tokens).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    orig_dtype = q.dtype
+    logits = jnp.einsum("bqhd,bkhd->bqhk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bqhk,bkhd->bqhd", weights.astype(orig_dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(orig_dtype)
+
+
 def _sdpa_impl(q, k, v, *, impl: str):
     if impl == "pallas":
         from video_style_transfer_tpu.ops.flash_attention import flash_attention
         return flash_attention(q, k, v)
+    if impl == "shortkv":
+        return sdpa_shortkv(q, k, v)
     return sdpa_xla(q, k, v)
 
 
@@ -55,14 +85,16 @@ def sdpa(q, k, v, *, impl: str = "auto"):
         seq_q, seq_k = q.shape[1], k.shape[1]
         head_dim = q.shape[-1]
         on_tpu = jax.default_backend() == "tpu"
-        if (on_tpu and seq_q >= _FLASH_MIN_SEQ
+        if seq_k <= _SHORT_KV_MAX:
+            # cross-attention (kv = 77 text tokens): lane-native short-kv
+            # path; the flash kernel is latency-bound below one kv block
+            impl = "shortkv"
+        elif (on_tpu and seq_q >= _FLASH_MIN_SEQ
                 and head_dim % 64 == 0 and head_dim <= 512):
-            # covers UNet spatial self-attention (d=64), cross-attention
-            # (kv=77 — the kernel masks the ragged kv tail, and the
-            # packed-heads form reads BSHD directly, avoiding the XLA
-            # path's materialized swapaxes), AND the VAE mid-block
-            # attention (1 head, d=512, seq 16384 at 1024^2 — the XLA
-            # path would materialize a 1 GB logits tensor per frame)
+            # covers UNet spatial self-attention (d=64) AND the VAE
+            # mid-block attention (1 head, d=512, seq 16384 at 1024^2 —
+            # the XLA path would materialize a 1 GB logits tensor per
+            # frame)
             impl = "pallas"
         else:
             impl = "xla"
