@@ -180,3 +180,67 @@ class TestShortKv:
             assert out.shape == q.shape
         finally:
             A.sdpa_shortkv = orig
+
+
+class TestFusedQkv:
+    """flash_attention_qkv: the fused-projection entry that addresses the
+    q/k/v segments of one (B, S, 3*H*D) matmul output in place (three
+    BlockSpec lane-group index maps — no split copies on the serving
+    path)."""
+
+    def _qkv(self, b, s, h, d, dtype=jnp.float32):
+        q = _rand((b, s, h * d), 60, dtype)
+        k = _rand((b, s, h * d), 61, dtype)
+        v = _rand((b, s, h * d), 62, dtype)
+        return q, k, v, jnp.concatenate([q, k, v], axis=-1)
+
+    @pytest.mark.parametrize("b,s,h,d", [
+        (2, 256, 4, 64),    # pack=2 lane groups
+        (1, 200, 4, 32),    # pack=4, ragged seq -> kv tail masking
+        (1, 256, 1, 128),   # single unpacked head (VAE-attention form)
+    ])
+    def test_matches_separate_kernel_bitwise(self, b, s, h, d):
+        from video_style_transfer_tpu.ops.flash_attention import (
+            flash_attention_qkv)
+        q, k, v, qkv = self._qkv(b, s, h, d)
+        got = flash_attention_qkv(qkv, h, block_q=128, block_k=128)
+        want = flash_attention(
+            q.reshape(b, s, h, d), k.reshape(b, s, h, d),
+            v.reshape(b, s, h, d), block_q=128,
+            block_k=128).reshape(b, s, h * d)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_gradients_match_split_path(self):
+        from video_style_transfer_tpu.ops.flash_attention import (
+            flash_attention_qkv)
+        b, s, h, d = 2, 256, 4, 64
+        _, _, _, qkv = self._qkv(b, s, h, d, jnp.bfloat16)
+
+        def loss_fused(qkv):
+            return jnp.sum(flash_attention_qkv(
+                qkv, h, block_q=128, block_k=128).astype(jnp.float32) ** 2)
+
+        def loss_split(qkv):
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            o = flash_attention(
+                q.reshape(b, s, h, d), k.reshape(b, s, h, d),
+                v.reshape(b, s, h, d), block_q=128, block_k=128)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        gf = jax.grad(loss_fused)(qkv)
+        gs = jax.grad(loss_split)(qkv)
+        np.testing.assert_allclose(np.asarray(gf, np.float32),
+                                   np.asarray(gs, np.float32),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_dispatch_split_fallback_matches(self):
+        """sdpa_fused_qkv must produce flash-identical math on the
+        split/XLA route (non-packable or off-TPU shapes)."""
+        from video_style_transfer_tpu.ops.attention import sdpa_fused_qkv
+        b, s, h, d = 2, 128, 2, 64
+        q, k, v, qkv = self._qkv(b, s, h, d)
+        got = sdpa_fused_qkv(qkv, h, impl="xla")
+        want = sdpa_xla(q.reshape(b, s, h, d), k.reshape(b, s, h, d),
+                        v.reshape(b, s, h, d)).reshape(b, s, h * d)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5)

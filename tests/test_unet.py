@@ -1,4 +1,6 @@
 """Shape/consistency tests for the functional SDXL UNet (tiny config)."""
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -120,3 +122,71 @@ def test_cfg_doubled_video_batch_independence():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out[f:]), np.asarray(out_b),
                                rtol=1e-4, atol=1e-5)
+
+
+class TestCrossKvCache:
+    """precompute_cross_kv: the prompt-side k/v projections are
+    loop-invariant; serving pipelines evaluate them once per generation
+    (models/unet.py) — cached and uncached forwards must agree."""
+
+    @pytest.mark.parametrize("motion,frames", [(False, 1), (True, 2)])
+    @pytest.mark.parametrize("mode", ["both", "content"])
+    def test_matches_uncached(self, motion, frames, mode):
+        from video_style_transfer_tpu.lora.surgery import insert_unziplora
+        from video_style_transfer_tpu.models.unet import precompute_cross_kv
+        cfg = UNetConfig.tiny(use_motion_modules=motion)
+        p = init_unet(jax.random.PRNGKey(0), cfg)
+        p, state = insert_unziplora(p, jax.random.PRNGKey(1), rank=4)
+        b = 2
+        n = b * frames
+        x = jax.random.normal(jax.random.PRNGKey(2), (n, 8, 8, 4))
+        t = jnp.asarray([5.0] * b)
+        d = cfg.cross_attention_dim
+        ctx = tuple(jax.random.normal(jax.random.PRNGKey(3 + i), (b, 7, d))
+                    for i in range(3))
+        pooled = jax.random.normal(jax.random.PRNGKey(9), (b, 32))
+        tid = jnp.tile(jnp.asarray([[16, 16, 0, 0, 16, 16]], jnp.float32),
+                       (b, 1))
+        y0 = unet_apply(p, cfg, x, t, ctx, pooled, tid, mode=mode,
+                        state=state, num_frames=frames)
+        kv = precompute_cross_kv(p, cfg, ctx, mode=mode, state=state,
+                                 dtype=x.dtype)
+        y1 = unet_apply(p, cfg, x, t, ctx, pooled, tid, mode=mode,
+                        state=state, num_frames=frames, cross_kv=kv)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_pipeline_default_uses_cache(self):
+        """generate_latents must produce identical latents with the
+        denoiser's precompute on (default) and off."""
+        from video_style_transfer_tpu.pipelines import image as image_mod
+        from video_style_transfer_tpu.pipelines import sampling
+        from video_style_transfer_tpu.pipelines.image import (
+            default_time_ids, generate_latents)
+        cfg = UNetConfig.tiny()
+        p = init_unet(jax.random.PRNGKey(0), cfg)
+        d = cfg.cross_attention_dim
+
+        def cond_of(seed):
+            ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+            return sampling.Conditioning(
+                ctx=tuple(jax.random.normal(k, (1, 7, d)) for k in ks[:3]),
+                pooled=jax.random.normal(ks[3], (1, 32)),
+                time_ids=default_time_ids(16, 16, 1))
+
+        uncond, cond = cond_of(1), cond_of(2)
+        kw = dict(height=16, width=16, num_steps=2, mode="base",
+                  dtype=jnp.float32, vae_scale_factor=2)
+        lat = generate_latents(p, cfg, uncond, cond,
+                               jax.random.PRNGKey(3), **kw)
+        orig = image_mod.make_cfg_denoiser
+        try:
+            # image.py imported the symbol directly — patch ITS binding
+            image_mod.make_cfg_denoiser = functools.partial(
+                orig, precompute_kv=False)
+            lat_nokv = generate_latents(p, cfg, uncond, cond,
+                                        jax.random.PRNGKey(3), **kw)
+        finally:
+            image_mod.make_cfg_denoiser = orig
+        np.testing.assert_allclose(np.asarray(lat), np.asarray(lat_nokv),
+                                   rtol=1e-5, atol=1e-6)

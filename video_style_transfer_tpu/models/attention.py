@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from video_style_transfer_tpu.lora.unzip import dual_linear
 from video_style_transfer_tpu.lora.temporal import apply_temporal_lora
 from video_style_transfer_tpu.models import layers
-from video_style_transfer_tpu.ops.attention import merge_heads, sdpa, split_heads
+from video_style_transfer_tpu.ops.attention import (
+    merge_heads, sdpa, sdpa_fused_qkv, split_heads)
 
 
 def init_attention(key, query_dim: int, *, heads: int,
@@ -62,10 +63,34 @@ def _plain(pp) -> bool:
 
 
 def attention(p, x, ctx: Optional[Tuple] = None, *, heads: int,
-              mode: str = "base", state=None, impl: str = "auto"):
+              mode: str = "base", state=None, impl: str = "auto",
+              kv: Optional[Tuple] = None):
     """x: (N, S, C). ctx: None for self-attention, or a
     (combined, content, style) tuple of encoder states for cross-attention
-    (content/style may be None -> fall back to combined)."""
+    (content/style may be None -> fall back to combined).
+
+    kv: optional precomputed (k, v) pair, each (Bk, Sk, inner) — the
+    cross-attention projections of the prompt embeddings, which are
+    loop-invariant across denoise steps (see precompute_cross_kv in
+    models/unet.py). When given, the k/v projections (and their LoRA
+    branches) are skipped entirely. Bk may be smaller than N by an
+    integer frame-replication factor: kv rows are then repeated per
+    frame (a ~77-token broadcast — cheap, and it keeps cross-attention
+    frame-local so the frame-sharded mesh serving path stays
+    collective-free)."""
+    if kv is not None:
+        q = _proj(p, state, "to_q", x, x, x, mode)
+        k, v = kv
+        n = x.shape[0]
+        if k.shape[0] != n:
+            rep = n // k.shape[0]
+            k = jnp.repeat(k, rep, axis=0)
+            v = jnp.repeat(v, rep, axis=0)
+        o = merge_heads(sdpa(split_heads(q, heads),
+                             split_heads(k.astype(q.dtype), heads),
+                             split_heads(v.astype(q.dtype), heads),
+                             impl=impl))
+        return _proj(p, state, "to_out", o, o, o, mode)
     qkv_names = ("to_q", "to_k", "to_v")
     if ctx is None and all(_plain(p[n]) for n in qkv_names):
         # fused q/k/v projection: one (C, 3*inner) matmul replaces three
@@ -83,7 +108,11 @@ def attention(p, x, ctx: Optional[Tuple] = None, *, heads: int,
                 [p[n].get("bias",
                           jnp.zeros((inner,), x.dtype)).astype(qkv.dtype)
                  for n in qkv_names])
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        # the flash kernel consumes the fused array in place (three
+        # lane-group index maps) — splitting it here cost ~64 ms/step of
+        # pure copies in the full-scale denoise profile
+        o = sdpa_fused_qkv(qkv, heads, impl=impl)
+        return _proj(p, state, "to_out", o, o, o, mode)
     else:
         q = _proj(p, state, "to_q", x, x, x, mode)
         if ctx is None:
@@ -100,6 +129,18 @@ def attention(p, x, ctx: Optional[Tuple] = None, *, heads: int,
     v = split_heads(v, heads)
     o = merge_heads(sdpa(q, k, v, impl=impl))
     return _proj(p, state, "to_out", o, o, o, mode)
+
+
+def cross_attention_kv(p, ctx: Tuple, *, mode: str = "base", state=None):
+    """Project the prompt embeddings through one cross-attention's k/v
+    (including any LoRA branches) — the denoise-loop-invariant part of
+    `attention`. Returns (k, v), each (B, Sk, inner)."""
+    c, c_c, c_s = ctx
+    c_c = c if c_c is None else c_c
+    c_s = c if c_s is None else c_s
+    k = _proj(p, state, "to_k", c, c_c, c_s, mode)
+    v = _proj(p, state, "to_v", c, c_c, c_s, mode)
+    return k, v
 
 
 def init_feed_forward(key, dim: int, *, mult: int = 4, dtype=jnp.float32):

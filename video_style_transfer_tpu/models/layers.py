@@ -91,8 +91,13 @@ def group_norm(p, x, *, num_groups: int, eps: float = 1e-5):
     c = x.shape[-1]
     g = num_groups
     lead = x.shape[0]
-    xf = x.astype(jnp.float32)
-    x2 = xf.reshape(lead, -1, c)
+    # keep x in its input dtype; upcast INSIDE each consuming expression
+    # so the f32 conversion fuses into the stats reduce and the apply
+    # chain respectively. A shared pre-converted xf value materialized a
+    # full-size f32 copy of the activation (profiled at ~2 GB for the
+    # level-0 up-block concat input, written once and read by both the
+    # stats fusion and the consuming conv).
+    x2 = x.reshape(lead, -1, c)
     n_spatial = x2.shape[1]
     # Shift by a per-group reference value (group mean of the first
     # spatial row) before squaring: E[(x-K)^2] - E[x-K]^2 is exact for
@@ -100,9 +105,10 @@ def group_norm(p, x, *, num_groups: int, eps: float = 1e-5):
     # fp32 cancellation is bounded by ~one sample variance instead of
     # mean^2 (which catastrophically cancelled when a group's mean
     # dominated its variance — worst at the VAE's eps=1e-6).
-    k_g = x2[:, 0, :].reshape(lead, g, c // g).mean(-1)    # (B, g)
+    k_g = x2[:, 0, :].astype(jnp.float32) \
+        .reshape(lead, g, c // g).mean(-1)                 # (B, g)
     k_c = jnp.repeat(k_g, c // g, axis=-1)                 # (B, C)
-    xs = x2 - k_c[:, None, :]
+    xs = x2.astype(jnp.float32) - k_c[:, None, :]
     s1 = jnp.sum(xs, axis=1)                       # (B, C)
     s2 = jnp.sum(xs * xs, axis=1)                  # (B, C)
     cnt = n_spatial * (c // g)
@@ -115,7 +121,7 @@ def group_norm(p, x, *, num_groups: int, eps: float = 1e-5):
     scale = inv_c * p["scale"].astype(jnp.float32)
     bias = p["bias"].astype(jnp.float32) - mean_c * scale
     bshape = (lead,) + (1,) * (x.ndim - 2) + (c,)
-    y = xf * scale.reshape(bshape) + bias.reshape(bshape)
+    y = x.astype(jnp.float32) * scale.reshape(bshape) + bias.reshape(bshape)
     return y.astype(orig_dtype)
 
 

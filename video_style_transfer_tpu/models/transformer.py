@@ -33,20 +33,42 @@ def init_transformer_block(key, dim: int, *, heads: int,
 
 
 def transformer_block(p, x, ctx: Tuple, *, heads: int, mode: str = "base",
-                      state=None, impl: str = "auto"):
+                      state=None, impl: str = "auto", kv2=None):
     """x: (N, S, C); ctx: (combined, content, style) encoder states.
     Self-attn consumes the hidden states for all three streams, cross-attn
-    the three prompts (reference unzip_attention.py:160-167, :199-206)."""
+    the three prompts (reference unzip_attention.py:160-167, :199-206).
+    kv2: optional precomputed cross-attention (k, v) — see
+    models/unet.py:precompute_cross_kv."""
     st = state or {}
     h = layers.layer_norm(p["norm1"], x)
     x = x + attention(p["attn1"], h, None, heads=heads, mode=mode,
                       state=st.get("attn1"), impl=impl)
     h = layers.layer_norm(p["norm2"], x)
     x = x + attention(p["attn2"], h, ctx, heads=heads, mode=mode,
-                      state=st.get("attn2"), impl=impl)
+                      state=st.get("attn2"), impl=impl, kv=kv2)
     h = layers.layer_norm(p["norm3"], x)
     x = x + feed_forward(p["ff"], h)
     return x
+
+
+def transformer_2d_cross_kv(p, ctx: Tuple, *, mode: str = "base",
+                            state=None):
+    """Precompute the stacked attn2 (k, v) for one transformer_2d: the
+    prompt-side projections are invariant across denoise steps, so
+    pipelines evaluate them once per generation and scan them alongside
+    the block params (models/unet.py:precompute_cross_kv)."""
+    from video_style_transfer_tpu.models.attention import cross_attention_kv
+    blocks = p["transformer_blocks"]
+    st_blocks = (state or {}).get("transformer_blocks")
+
+    def one(bp, bst):
+        return cross_attention_kv(
+            bp["attn2"], ctx, mode=mode,
+            state=None if bst is None else bst.get("attn2"))
+
+    if st_blocks is None:
+        return jax.vmap(lambda bp: one(bp, None))(blocks)
+    return jax.vmap(one)(blocks, st_blocks)
 
 
 def init_transformer_2d(key, in_channels: int, *, num_layers: int,
@@ -76,8 +98,11 @@ def init_transformer_2d(key, in_channels: int, *, num_layers: int,
 
 def transformer_2d(p, x, ctx: Tuple, *, heads: int, norm_num_groups: int,
                    mode: str = "base", state=None, impl: str = "auto",
-                   remat: bool = False):
-    """x: (N, H, W, C) NHWC. use_linear_projection=True layout (SDXL)."""
+                   remat: bool = False, cross_kv=None):
+    """x: (N, H, W, C) NHWC. use_linear_projection=True layout (SDXL).
+    cross_kv: optional stacked (k, v) pair with a leading (num_layers,)
+    axis — precomputed attn2 projections, scanned alongside the block
+    params."""
     n, h, w, c = x.shape
     residual = x
     y = layers.group_norm(p["norm"], x, num_groups=norm_num_groups)
@@ -88,9 +113,9 @@ def transformer_2d(p, x, ctx: Tuple, *, heads: int, norm_num_groups: int,
     st_blocks = st.get("transformer_blocks")
 
     def body(y_, layer):
-        bp, bst = layer
+        bp, bst, bkv = layer
         out = transformer_block(bp, y_, ctx, heads=heads, mode=mode,
-                                state=bst, impl=impl)
+                                state=bst, impl=impl, kv2=bkv)
         return out, None
 
     if remat:
@@ -104,10 +129,11 @@ def transformer_2d(p, x, ctx: Tuple, *, heads: int, norm_num_groups: int,
     if num_layers == 1:
         # avoid scan overhead for single-layer stacks
         layer = jax.tree.map(lambda a: a[0], (p["transformer_blocks"],
-                                              st_scan))
+                                              st_scan, cross_kv))
         y, _ = body(y, layer)
     else:
-        y, _ = jax.lax.scan(body, y, (p["transformer_blocks"], st_scan))
+        y, _ = jax.lax.scan(body, y, (p["transformer_blocks"], st_scan,
+                                      cross_kv))
 
     y = layers.linear(p["proj_out"], y)
     return y.reshape(n, h, w, c) + residual

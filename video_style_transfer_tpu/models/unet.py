@@ -169,9 +169,49 @@ def _sub(state, *path):
     return cur
 
 
+def precompute_cross_kv(params, cfg: UNetConfig, ctx: Tuple, *,
+                        mode: str = "base", state=None, dtype=None,
+                        num_frames: int = 1):
+    """Evaluate every cross-attention's k/v projections of the prompt
+    embeddings once. The result is loop-invariant across denoise steps —
+    pipelines compute it before the sampling scan and pass it to
+    `unet_apply(cross_kv=...)`, removing ~140 (video) to ~1000+ (image,
+    triple-prompt with live LoRA branches) tiny latency-bound matmuls
+    from every step. ctx: (combined, content, style), each
+    (B, S, cross_attention_dim) — NOT frame-repeated; pass num_frames to
+    bake the frame repeat into the cache too (a one-time ~0.7 GB at the
+    16-frame CFG-pair video shape; repeating per step instead measured
+    ~60 ms/step of copies)."""
+    from video_style_transfer_tpu.models.transformer import (
+        transformer_2d_cross_kv)
+    if dtype is not None:
+        ctx = tuple(None if e is None else e.astype(dtype) for e in ctx)
+    if num_frames > 1:
+        ctx = tuple(None if e is None
+                    else jnp.repeat(e, num_frames, axis=0) for e in ctx)
+
+    cache = {"down_blocks": {}, "mid_block": {}, "up_blocks": {}}
+    for path, types in (("down_blocks", cfg.down_block_types),
+                        ("up_blocks", cfg.up_block_types)):
+        for i, block in enumerate(params[path]):
+            if types[i] != CROSS:
+                continue
+            ent = {}
+            for j, ap in enumerate(block["attentions"]):
+                ent[j] = transformer_2d_cross_kv(
+                    ap, ctx, mode=mode,
+                    state=_sub(state, path, i, "attentions", j))
+            cache[path][i] = {"attentions": ent}
+    cache["mid_block"] = {"attentions": {0: transformer_2d_cross_kv(
+        params["mid_block"]["attentions"][0], ctx, mode=mode,
+        state=_sub(state, "mid_block", "attentions", 0))}}
+    return cache
+
+
 def unet_apply(params, cfg: UNetConfig, sample, timesteps, ctx: Tuple,
                pooled_text, time_ids, *, mode: str = "base", state=None,
-               num_frames: int = 1, impl: str = "auto", remat=False):
+               num_frames: int = 1, impl: str = "auto", remat=False,
+               cross_kv=None):
     """Denoiser forward.
 
     sample:      (N, H, W, C_in), N = batch * num_frames
@@ -180,6 +220,8 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps, ctx: Tuple,
                  (B, S, cross_attention_dim); content/style may be None
     pooled_text: (B, pooled_dim)  — SDXL text_embeds added conditioning
     time_ids:    (B, 6)           — SDXL micro-conditioning ids
+    cross_kv:    optional precompute_cross_kv output — serving paths pass
+                 it to skip the per-step prompt projections
     """
     n = sample.shape[0]
     b = n // num_frames
@@ -209,7 +251,12 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps, ctx: Tuple,
             e = jnp.repeat(e, num_frames, axis=0)
         return e.astype(dt)
 
-    ctx = tuple(_rep(e) for e in ctx)
+    if cross_kv is None:
+        ctx = tuple(_rep(e) for e in ctx)
+    else:
+        # every cross-attention reads the precomputed kv; queries regroup
+        # per sample instead of repeating ctx over frames
+        ctx = None
 
     groups = cfg.norm_num_groups
     motion_on = cfg.use_motion_modules and num_frames > 1
@@ -241,12 +288,12 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps, ctx: Tuple,
     _resnet = ckpt(functools.partial(resnet_block, num_groups=groups,
                                      eps=cfg.norm_eps))
 
-    def _attn_raw(ap, h, ctx, st, heads):
+    def _attn_raw(ap, h, ctx, st, kv, heads):
         return transformer_2d(ap, h, ctx, heads=heads,
                               norm_num_groups=groups, mode=mode, state=st,
-                              impl=impl, remat=inner)
+                              impl=impl, remat=inner, cross_kv=kv)
 
-    _attn = (jax.checkpoint(_attn_raw, static_argnums=(4,)) if component
+    _attn = (jax.checkpoint(_attn_raw, static_argnums=(5,)) if component
              else _attn_raw)
 
     # ---- down path --------------------------------------------------------
@@ -260,6 +307,7 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps, ctx: Tuple,
             if btype == CROSS:
                 h = _attn(block["attentions"][j], h, ctx,
                           _sub(state, "down_blocks", i, "attentions", j),
+                          _sub(cross_kv, "down_blocks", i, "attentions", j),
                           cfg.num_attention_heads[tf_idx])
             if motion_on and block.get("motion_modules"):
                 h = run_motion(block["motion_modules"][j], h)
@@ -273,6 +321,7 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps, ctx: Tuple,
     h = _resnet(mid["resnets"][0], h, emb)
     h = _attn(mid["attentions"][0], h, ctx,
               _sub(state, "mid_block", "attentions", 0),
+              _sub(cross_kv, "mid_block", "attentions", 0),
               cfg.num_attention_heads[-1])
     if motion_on and mid.get("motion_modules"):
         h = run_motion(mid["motion_modules"][0], h)
@@ -289,6 +338,7 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps, ctx: Tuple,
             if btype == CROSS:
                 h = _attn(block["attentions"][j], h, ctx,
                           _sub(state, "up_blocks", i, "attentions", j),
+                          _sub(cross_kv, "up_blocks", i, "attentions", j),
                           cfg.num_attention_heads[tf_idx])
             if motion_on and block.get("motion_modules"):
                 h = run_motion(block["motion_modules"][j], h)

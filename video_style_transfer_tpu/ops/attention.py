@@ -101,6 +101,31 @@ def sdpa(q, k, v, *, impl: str = "auto"):
     return _sdpa_impl(q, k, v, impl=impl)
 
 
+def sdpa_fused_qkv(qkv, num_heads: int, *, impl: str = "auto"):
+    """Self-attention straight off a fused q/k/v projection.
+
+    qkv: (B, S, 3*H*D) — one matmul's concatenated output columns —
+    returns (B, S, H*D). On the flash route the kernel addresses the
+    three segments of the fused array in place (no split); otherwise the
+    array is split and routed through `sdpa` (identical math — matmul
+    columns are independent).
+    """
+    b, s, hd3 = qkv.shape
+    hd = hd3 // 3
+    d = hd // num_heads
+    if impl in ("auto", "pallas"):
+        from video_style_transfer_tpu.ops.flash_attention import (
+            flash_attention_qkv, packable_qkv)
+        on_tpu = jax.default_backend() == "tpu"
+        if ((impl == "pallas" or (on_tpu and s >= _FLASH_MIN_SEQ))
+                and d % 64 == 0 and d <= 512 and packable_qkv(num_heads, d)):
+            return flash_attention_qkv(qkv, num_heads)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    o = sdpa(split_heads(q, num_heads), split_heads(k, num_heads),
+             split_heads(v, num_heads), impl=impl)
+    return merge_heads(o)
+
+
 def split_heads(x, num_heads: int):
     """(B, S, H*D) -> (B, S, H, D)"""
     b, s, hd = x.shape

@@ -183,7 +183,24 @@ def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
         row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
         v = jnp.where(row < tail, v, 0)
 
-    outs = []
+    # Softmax row-sum on the MXU: augment v with a ones block so
+    # p @ [v | 1] yields the p@v numerator AND the denominator row-sum in
+    # one matmul, deleting the f32 row-sum pass over the (bq, bk)
+    # probability block from the VPU softmax chain along with the f32
+    # materialization of p (only the bf16 cast feeding the MXU remains).
+    # The denominator then sums the SAME value-dtype p as the numerator
+    # (the f32-sum form normalized bf16 probabilities by their f32 sum —
+    # a ~2^-9 inconsistency).
+    # Measured on v5e (floor-corrected, serving shapes): the trade WINS
+    # only when kv fits in a single block — (32,1024,20,64): 3.33 ->
+    # 3.09 ms; at (32,4096,10,64) with two kv blocks it LOSES (21.6 ->
+    # 25.3 ms: the widened 2d-lane p@v matmul is not free once the
+    # accumulator is re-read per kv block), so it is gated to nk == 1.
+    # VST_FLASH_VPU_ROWSUM=1 restores the VPU row-sum for A/B.
+    import os
+    mxu_rowsum = (2 * head_dim <= 128 and kv_seq <= block_k
+                  and os.environ.get("VST_FLASH_VPU_ROWSUM") != "1")
+
     for t in range(pack):
         sl = slice(t * head_dim, (t + 1) * head_dim)
         s = jax.lax.dot_general(
@@ -197,15 +214,23 @@ def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
         m_new = jnp.maximum(m_prev, m_cur)
         corr = jnp.exp2(m_prev - m_new)
         p = jnp.exp2(s - m_new)
-        l_ref[:, t:t + 1] = corr * l_ref[:, t:t + 1] \
-            + jnp.sum(p, axis=-1, keepdims=True)
+        if mxu_rowsum:
+            v_t = v[:, sl]
+            # ones are NOT tail-masked: p is already 0 past the kv tail
+            vaug = jnp.concatenate([v_t, jnp.ones_like(v_t)], axis=1)
+            pv2 = jax.lax.dot_general(
+                p.astype(v.dtype), vaug, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)     # (bq, 2d)
+            pv = pv2[:, :head_dim]
+            rowsum = pv2[:, head_dim:head_dim + 1]
+        else:
+            rowsum = jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        l_ref[:, t:t + 1] = corr * l_ref[:, t:t + 1] + rowsum
         m_ref[:, t:t + 1] = m_new
-        acc_ref[:, sl] = (acc_ref[:, sl] * corr
-                          + jax.lax.dot_general(
-                              p.astype(v.dtype), v[:, sl],
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32))
-        outs.append(t)
+        acc_ref[:, sl] = acc_ref[:, sl] * corr + pv
 
     @pl.when(j == nk - 1)
     def _finalize():
@@ -274,6 +299,72 @@ def _flash_fwd_bs_hd(q, k, v, *, num_heads: int, scale: float,
             transcendentals=b * num_heads * sq * sk),
         interpret=interpret,
     )(q, k, v)
+
+
+def _flash_fwd_qkv_packed(qkv, *, num_heads: int, scale: float,
+                          block_q: int, block_k: int, interpret=None):
+    """Fused-projection forward: qkv is the (B, S, 3*H*D) output of a
+    single concatenated q/k/v matmul, consumed IN PLACE — the q, k and v
+    segments are addressed by three BlockSpecs with lane-group index maps
+    into the same array. Avoids the 3-way `jnp.split` the separate-input
+    kernel forces on the serving path (profiled at ~64 ms/step of pure
+    copies: one (32,1024,3840)->3x(32,1024,1280) split per level-2
+    self-attention, 16 ms per site per two steps).
+    Returns ((B, S, H*D) out, lse) like _flash_fwd_bs_hd."""
+    if interpret is None:
+        interpret = should_interpret()
+    b, sq, hd3 = qkv.shape
+    hd = hd3 // 3
+    d = hd // num_heads
+    pack = max(1, 128 // d)
+    assert num_heads % pack == 0 and (d * pack) % 128 == 0
+    hp = num_heads // pack
+    sk = sq
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    nq = pl.cdiv(sq, block_q)
+    nk = pl.cdiv(sk, block_k)
+
+    grid = (b, hp, nq, nk)
+    lane = pack * d
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_packed, scale=scale, kv_seq=sk,
+                          block_k=block_k, head_dim=d, pack=pack),
+        grid=grid,
+        in_specs=[
+            # lane-group index h selects head-group h of the q segment;
+            # hp + h / 2*hp + h address the k / v segments of the SAME
+            # fused array
+            pl.BlockSpec((1, block_q, lane), lambda b, h, i, j: (b, i, h)),
+            pl.BlockSpec((1, block_k, lane),
+                         lambda b, h, i, j, _hp=hp: (b, j, _hp + h)),
+            pl.BlockSpec((1, block_k, lane),
+                         lambda b, h, i, j, _hp=hp: (b, j, 2 * _hp + h)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, lane), lambda b, h, i, j: (b, i, h)),
+            pl.BlockSpec((1, pack, block_q),
+                         lambda b, h, i, j, _hp=hp: (b * _hp + h, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sq, hd), qkv.dtype),
+            jax.ShapeDtypeStruct((b * hp, pack, sq), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, lane), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * sq * sk * d,
+            bytes_accessed=2 * b * (3 * sq + sq) * hd,
+            transcendentals=b * num_heads * sq * sk),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
 
 
 def _xla_reference(q, k, v, scale):
@@ -539,6 +630,73 @@ def _flash_packed_bwd(num_heads, scale, block_q, block_k, res, g):
 
 
 _flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _flash_packed_qkv(qkv, num_heads, scale, block_q, block_k):
+    out, _ = _flash_fwd_qkv_packed(qkv, num_heads=num_heads, scale=scale,
+                                   block_q=block_q, block_k=block_k)
+    return out
+
+
+def _flash_packed_qkv_fwd(qkv, num_heads, scale, block_q, block_k):
+    out, lse = _flash_fwd_qkv_packed(qkv, num_heads=num_heads, scale=scale,
+                                     block_q=block_q, block_k=block_k)
+    return out, (qkv, out, lse)
+
+
+def _flash_packed_qkv_bwd(num_heads, scale, block_q, block_k, res, g):
+    # the backward is off the serving hot path (training runs LoRA'd
+    # projections, which never take the fused route); slice the fused
+    # residual and reuse the BHSD backward kernels
+    qkv, o, lse = res
+    b, sq, hd3 = qkv.shape
+    hd = hd3 // 3
+    d = hd // num_heads
+    q, k, v = (qkv[..., :hd], qkv[..., hd:2 * hd], qkv[..., 2 * hd:])
+
+    def tob(x):
+        return jnp.swapaxes(x.reshape(b, sq, num_heads, d), 1, 2) \
+            .reshape(b * num_heads, sq, d)
+
+    dq, dk, dv = _flash_bwd_bhsd(
+        tob(q), tob(k), tob(v), tob(g), tob(o),
+        lse.reshape(b * num_heads, 1, sq), scale=scale,
+        block_q=block_q, block_k=block_k)
+
+    def back(x):
+        return jnp.swapaxes(x.reshape(b, num_heads, sq, d), 1, 2) \
+            .reshape(b, sq, hd)
+
+    return (jnp.concatenate([back(dq), back(dk), back(dv)], axis=-1),)
+
+
+_flash_packed_qkv.defvjp(_flash_packed_qkv_fwd, _flash_packed_qkv_bwd)
+
+
+def flash_attention_qkv(qkv, num_heads: int, *, scale=None,
+                        block_q: int = None, block_k: int = None):
+    """Self-attention over a fused projection output.
+
+    qkv: (B, S, 3*H*D) — the concatenated q/k/v columns of one matmul —
+    returns (B, S, H*D). The kernel reads the three segments in place;
+    nothing is ever split or copied. Requires a packable (H, D); callers
+    should check `packable_qkv` and fall back to splitting otherwise.
+    """
+    b, s, hd3 = qkv.shape
+    d = (hd3 // 3) // num_heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if block_q is None:
+        block_q = DEFAULT_BLOCK_Q if d <= 128 else 512
+    if block_k is None:
+        block_k = DEFAULT_BLOCK_K if d <= 128 else 512
+    assert _packable(num_heads, d), (num_heads, d)
+    return _flash_packed_qkv(qkv, num_heads, float(scale), block_q, block_k)
+
+
+def packable_qkv(num_heads: int, head_dim: int) -> bool:
+    return _packable(num_heads, head_dim)
 
 
 def flash_attention(q, k, v, *, scale=None, block_q: int = None,

@@ -52,7 +52,7 @@ def generate_latents(unet_params, unet_cfg, uncond: Conditioning,
     eps_fn = make_cfg_denoiser(
         unet_params, unet_cfg, uncond, cond, cfg_scale=cfg_scale,
         guidance_rescale=guidance_rescale, mode=mode, state=state,
-        num_frames=num_frames, impl=impl)
+        num_frames=num_frames, impl=impl, dtype=dtype)
 
     if sampler == "euler":
         table = euler_timetable(sched, num_steps)

@@ -69,16 +69,32 @@ def make_cfg_denoiser(unet_params, unet_cfg, uncond: Conditioning,
                       cond: Conditioning, *, cfg_scale: float,
                       guidance_rescale: float = 0.0, mode: str = "both",
                       state=None, num_frames: int = 1, impl: str = "auto",
-                      remat: bool = False):
+                      remat: bool = False, precompute_kv: bool = True,
+                      dtype=None):
     """Returns eps_fn(latents, t) with classifier-free guidance batched
-    as a doubled leading axis ([uncond, cond] ordering)."""
+    as a doubled leading axis ([uncond, cond] ordering).
+
+    precompute_kv: evaluate every cross-attention's prompt-side k/v
+    projections ONCE here (they are invariant across denoise steps)
+    instead of on every step inside the sampling scan — for the
+    triple-prompt image path with live LoRA branches that removes
+    1000+ tiny matmuls per step. `dtype` casts the prompt embeddings
+    before projecting (pipelines pass their latent dtype so the math
+    matches the uncached path bit for bit)."""
     both = _cat_cond(uncond, cond)
+    kv = None
+    if precompute_kv:
+        from video_style_transfer_tpu.models.unet import precompute_cross_kv
+        kv = precompute_cross_kv(unet_params, unet_cfg, both.ctx,
+                                 mode=mode, state=state, dtype=dtype,
+                                 num_frames=num_frames)
 
     def eps_fn(latents, t):
         doubled = jnp.concatenate([latents, latents], axis=0)
         out = unet_apply(unet_params, unet_cfg, doubled, t, both.ctx,
                          both.pooled, both.time_ids, mode=mode, state=state,
-                         num_frames=num_frames, impl=impl, remat=remat)
+                         num_frames=num_frames, impl=impl, remat=remat,
+                         cross_kv=kv)
         eps_u, eps_c = jnp.split(out, 2, axis=0)
         eps = eps_u + cfg_scale * (eps_c - eps_u)
         if guidance_rescale > 0.0:
