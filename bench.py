@@ -287,13 +287,15 @@ def build_text_encode(tiny: bool):
     return execute
 
 
-def build_decode(tiny: bool, frames: int, res: int, chunk: int = 2):
+def build_decode(tiny: bool, frames: int, res: int, chunk: int = 1):
     """fp32 per-frame VAE decode in per-chunk calls (the tunnel kills
-    single executions > ~1 min; a 16-frame 1024^2 decode is ~3.6 s, so
-    chunked calls are both the production memory shape AND watchdog-safe).
-    chunk 2 = the round-1 measured production config: chunk 4's fp32
-    decoder activations OOM 16 GB HBM with the UNet+CLIP weights
-    resident."""
+    single executions > ~1 min; chunked calls are both the production
+    memory shape AND watchdog-safe). chunk 1 measured FASTEST per frame
+    (0.203 s/f vs 0.337 at chunk 2, controlled same-process A/B): XLA
+    lowers the big-spatial decoder convs via its space-to-batch
+    transform, whose copy/select plumbing tiles far better at N=1.
+    chunk 4's fp32 decoder activations additionally OOM 16 GB HBM with
+    the UNet+CLIP weights resident."""
     from video_style_transfer_tpu.config import VAEConfig
     from video_style_transfer_tpu.models.vae import init_vae
     from video_style_transfer_tpu.pipelines.image import decode_images

@@ -114,7 +114,7 @@ def main(argv=None):
             key, num_frames=frames, height=res, width=res, num_steps=steps,
             cfg_scale=args.guidance_scale, mode=m, state=state,
             dtype=jnp.float32 if args.smoke else jnp.bfloat16,
-            decode_chunk=4 if not args.smoke else frames,
+            decode_chunk=1 if not args.smoke else frames,
             vae_scale_factor=bundle.vae_scale_factor))
         video = run(fparams, uncond, cond, jax.random.PRNGKey(args.seed))
         path = save_video(list(jax.device_get(video)),

@@ -43,11 +43,13 @@ def generate_video_latents(unet_params, unet_cfg, uncond: Conditioning,
         vae_scale_factor=vae_scale_factor)
 
 
-def decode_video(vae_params, vae_cfg, latents, *, chunk: int = 4):
+def decode_video(vae_params, vae_cfg, latents, *, chunk: int = 1):
     """Per-frame fp32 VAE decode (reference inference_animatediff.py:
     136-144 decodes frame-by-frame in fp32). Chunked lax.map bounds the
     1024^2 decoder's activation memory on one chip; under a mesh the
-    frame axis shards instead."""
+    frame axis shards instead. chunk 1 default: measured 1.66x faster
+    per frame than chunk 2 on v5e (XLA's space-to-batch lowering of the
+    big-spatial decoder convs tiles best at N=1)."""
     f = latents.shape[0]
     if chunk >= f:
         return decode_images(vae_params, vae_cfg, latents)
@@ -72,7 +74,7 @@ def generate_video(unet_params, unet_cfg, vae_params, vae_cfg,
                    width: int = 1024, num_steps: int = 30,
                    cfg_scale: float = 7.5, mode: str = "both", state=None,
                    impl: str = "auto", dtype=jnp.bfloat16,
-                   decode_chunk: int = 4, vae_scale_factor: int = 8):
+                   decode_chunk: int = 1, vae_scale_factor: int = 8):
     """Full video program: returns (F, H, W, 3) uint8 frames."""
     latents = generate_video_latents(
         unet_params, unet_cfg, uncond, cond, key, num_frames=num_frames,
