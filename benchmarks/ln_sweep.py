@@ -65,11 +65,23 @@ def make_ln_dot(precision):
     return ln_dot
 
 
+def make_ln_pallas(stats, block_m):
+    def ln_pallas(x, scale, bias, eps=1e-5):
+        from video_style_transfer_tpu.ops.layer_norm import layer_norm
+        return layer_norm(x, scale, bias, eps=eps, stats=stats,
+                          block_m=block_m)
+    return ln_pallas
+
+
 VARIANTS = (
     ("current", ln_current),
     ("dot-def", make_ln_dot(None)),
     ("dot-high", make_ln_dot(jax.lax.Precision.HIGH)),
     ("dot-highest", make_ln_dot(jax.lax.Precision.HIGHEST)),
+    ("pl-red-256", make_ln_pallas("reduce", 256)),
+    ("pl-dot-256", make_ln_pallas("dot", 256)),
+    ("pl-dot-512", make_ln_pallas("dot", 512)),
+    ("pl-dot-1024", make_ln_pallas("dot", 1024)),
 )
 
 

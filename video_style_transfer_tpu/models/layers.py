@@ -130,6 +130,15 @@ def init_layer_norm(dim: int, dtype=jnp.float32):
 
 
 def layer_norm(p, x, *, eps: float = 1e-5):
+    """LayerNorm over the minor axis, plain XLA formula.
+
+    Deliberately NOT a kernel: benchmarks/ln_sweep.py measured both a
+    dot_general stats rewrite (wins isolated, loses e2e — fusion
+    barrier materializes f32 intermediates) and a fused Pallas kernel
+    (ops/layer_norm.py — VPU-compute-bound at ~370 GB/s, slower than
+    this form even isolated). XLA fuses the stats reduce into the
+    producer chain here; keep the reduce.
+    """
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
