@@ -37,6 +37,13 @@ def main():
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "xla", "pallas"])
     ap.add_argument("--no_remat", action="store_true")
+    ap.add_argument("--remat_policy", default=None,
+                    choices=["component", "component_lite"],
+                    help="override the stage-2 remat policy (default: "
+                         "stage2.make_train_step's mapping of True)")
+    ap.add_argument("--profile", action="store_true",
+                    help="capture an xplane trace of one timed step; "
+                         "parse with benchmarks/xplane_report.py")
     args = ap.parse_args()
 
     cache = "/tmp/jax_cache"
@@ -99,14 +106,29 @@ def main():
             "time_ids": jnp.asarray([[res, res, 0, 0, res, res]], dt),
         }
 
+    remat = args.remat_policy or (not args.no_remat)
     step = stage2.make_train_step(cfg, sched, opt, pairs, mask=mask,
                                   lora_state=lora_state, impl=args.impl,
-                                  remat=not args.no_remat)
+                                  remat=remat)
     jit_step = jax.jit(step, donate_argnums=0)
 
     # compile + warm
     st, m = jit_step(st, batch_for(0), jax.random.PRNGKey(0))
     _ = float(m["loss"])
+
+    if args.profile:
+        import glob
+        import tempfile
+        logdir = tempfile.mkdtemp(prefix="vst_s2_trace_")
+        seed = int(time.time() * 1e3) % (2 ** 31)
+        b = batch_for(seed)
+        jax.profiler.start_trace(logdir)
+        st, m = jit_step(st, b, jax.random.PRNGKey(seed))
+        _ = float(m["loss"])
+        jax.profiler.stop_trace()
+        files = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                          recursive=True)
+        print("xplane files:", files)
 
     times = []
     for t in range(args.trials):
@@ -123,7 +145,7 @@ def main():
         "value": round(sec, 4),
         "unit": "sec/step/chip",
         "impl": args.impl,
-        "remat": not args.no_remat,
+        "remat": remat,
         "all_trials": [round(x, 4) for x in times],
     }))
 

@@ -272,12 +272,20 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps, ctx: Tuple,
     # double-attn motion blocks that pushed the stage-2 step past 16 GB
     # HBM. Inner remats stay on under "component", bounding backward
     # replay memory to one block at a time.
-    component = remat == "component"
+    component = remat in ("component", "component_lite")
     inner = bool(remat)
-    ckpt = jax.checkpoint if component else (lambda f: f)
+    # "component_lite": store (don't checkpoint) components whose hidden
+    # spatial area is <= 32x32 — the level-2 sites are the FLOP-dominant
+    # part of the backward replay (10-layer 1280ch transformer stacks)
+    # while their internals are the cheapest to store (~2 GB at the
+    # stage-2 8f@1024^2 shape, which fits the post-"component" headroom).
+    # Levels 0-1 keep the full component checkpoint.
+    lite_area = 1024 if remat == "component_lite" else 0
 
-    @ckpt
-    def run_motion(mm, h):
+    def _stored(h):
+        return component and h.shape[-3] * h.shape[-2] <= lite_area
+
+    def _motion_raw(mm, h):
         return motion_module(
             mm, h, num_frames=num_frames,
             heads=cfg.motion_num_attention_heads,
@@ -285,16 +293,29 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps, ctx: Tuple,
             max_seq_length=cfg.motion_max_seq_length, impl=impl,
             remat=inner)
 
-    _resnet = ckpt(functools.partial(resnet_block, num_groups=groups,
-                                     eps=cfg.norm_eps))
+    _motion_c = jax.checkpoint(_motion_raw) if component else _motion_raw
+
+    def run_motion(mm, h):
+        return (_motion_raw if _stored(h) else _motion_c)(mm, h)
+
+    _resnet_raw = functools.partial(resnet_block, num_groups=groups,
+                                    eps=cfg.norm_eps)
+    _resnet_c = jax.checkpoint(_resnet_raw) if component else _resnet_raw
+
+    def _resnet(rp, h, emb):
+        return (_resnet_raw if _stored(h) else _resnet_c)(rp, h, emb)
 
     def _attn_raw(ap, h, ctx, st, kv, heads):
         return transformer_2d(ap, h, ctx, heads=heads,
                               norm_num_groups=groups, mode=mode, state=st,
                               impl=impl, remat=inner, cross_kv=kv)
 
-    _attn = (jax.checkpoint(_attn_raw, static_argnums=(5,)) if component
-             else _attn_raw)
+    _attn_c = (jax.checkpoint(_attn_raw, static_argnums=(5,)) if component
+               else _attn_raw)
+
+    def _attn(ap, h, ctx, st, kv, heads):
+        return (_attn_raw if _stored(h) else _attn_c)(
+            ap, h, ctx, st, kv, heads)
 
     # ---- down path --------------------------------------------------------
     h = layers.conv2d(params["conv_in"], sample)
