@@ -55,6 +55,10 @@ def build_parser():
     p.add_argument("--style_learning_rate", type=float, default=5e-5)
     p.add_argument("--weight_learning_rate", type=float, default=5e-3)
     p.add_argument("--similarity_lambda", type=float, default=0.5)
+    p.add_argument("--optimizer", default="adamw",
+                   choices=["adamw", "prodigy"],
+                   help="reference train_unziplora.py:1602-1671 "
+                        "(8-bit Adam is CUDA-only; no TPU analog needed)")
     p.add_argument("--lr_scheduler", default="constant",
                    choices=["constant", "cosine"])
     p.add_argument("--lr_warmup_steps", type=int, default=0)
@@ -242,7 +246,8 @@ def main(argv=None):
         lr_style=args.style_learning_rate,
         lr_merger=args.weight_learning_rate,
         max_grad_norm=args.max_grad_norm, total_steps=max_steps,
-        warmup=args.lr_warmup_steps, schedule=args.lr_scheduler)
+        warmup=args.lr_warmup_steps, schedule=args.lr_scheduler,
+        optimizer=args.optimizer)
 
     sched = make_schedule()
     step_fn = jax.jit(stage1.make_train_step(
