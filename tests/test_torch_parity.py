@@ -276,3 +276,31 @@ def test_motion_module_diffusers_parity():
     want = (hs + residual).numpy()
     np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 3, 1, 2)),
                                want, rtol=2e-4, atol=2e-4)
+
+
+def test_conv2d_strip_path_matches_plain():
+    """3x3 SAME convs at H >= 512 dispatch to the strip-batched form
+    (layers._conv3x3_strips — the VAE-decode space-to-batch fix); it
+    must equal the plain conv exactly and not leak rows across samples."""
+    import jax
+    import jax.numpy as jnp
+
+    for (n, h, w, c, co) in [(1, 512, 40, 6, 4), (2, 1024, 24, 4, 4),
+                             (1, 576, 32, 3, 5)]:
+        kk, kx = jax.random.split(jax.random.PRNGKey(n))
+        p = layers.init_conv(kk, c, co, 3)
+        x = jax.random.normal(kx, (n, h, w, c), jnp.float32)
+        assert h >= layers._STRIP_MIN_H and h % layers._STRIP_H == 0
+        got = layers.conv2d(p, x)
+        want = jax.lax.conv_general_dilated(
+            x, p["kernel"], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["bias"]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # cross-sample isolation: perturbing sample 0 leaves sample 1 bitwise
+    p = layers.init_conv(jax.random.PRNGKey(9), 4, 4, 3)
+    x = jax.random.normal(jax.random.PRNGKey(10), (2, 512, 16, 4),
+                          jnp.float32)
+    y0 = layers.conv2d(p, x)
+    y1 = layers.conv2d(p, x.at[0].add(100.0))
+    np.testing.assert_array_equal(np.asarray(y0[1]), np.asarray(y1[1]))

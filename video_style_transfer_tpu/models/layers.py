@@ -56,16 +56,55 @@ def init_conv(key, in_channels: int, out_channels: int, kernel_size: int,
     return p
 
 
+_STRIP_H = 64      # strip height for big-spatial 3x3 convs
+_STRIP_MIN_H = 512  # strip only at >= 512px (measured crossover)
+
+
+def _conv3x3_strips(x4, kernel):
+    """3x3 SAME stride-1 conv with the H axis split into 64-row strips
+    folded into the batch axis.
+
+    XLA's conv emitter handles small-batch big-spatial inputs through a
+    space-to-batch rewrite whose select/copy plumbing dominated the VAE
+    decode profile (~56% of device time at chunk 1). Pre-tiling is the
+    same transform done cheaply: (N,H,W,C)->(N*S,H/S,W,C) is layout-free,
+    the 1-row halos are exchanged explicitly per sample (zeros at image
+    borders = the SAME padding), and the conv runs at the batched
+    medium-spatial shape the emitter is fast at. Measured ms/conv
+    (f32, v5e, benchmarks/conv_sweep.py protocol): 1024^2x128 7.2->4.5,
+    1024^2x256 18.1->11.9, 512^2x512 12.2->9.2 — bitwise identical.
+    """
+    n, h, w, c = x4.shape
+    s = h // _STRIP_H
+    xs = x4.reshape(n, s, h // s, w, c)
+    zero = jnp.zeros_like(xs[:, :1, :1])
+    top = jnp.concatenate([zero, xs[:, :-1, -1:]], axis=1)
+    bot = jnp.concatenate([xs[:, 1:, :1], zero], axis=1)
+    xh = jnp.concatenate([top, xs, bot], axis=2)
+    y = jax.lax.conv_general_dilated(
+        xh.reshape(n * s, h // s + 2, w, c), kernel,
+        window_strides=(1, 1), padding=((0, 0), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y.reshape(n, h, w, y.shape[-1])
+
+
 def conv2d(p, x, *, stride: int = 1, padding="SAME"):
     """x: (..., H, W, C) NHWC. Leading dims beyond 4 are flattened."""
     lead = x.shape[:-3]
     x4 = x.reshape((-1,) + x.shape[-3:])
-    y = jax.lax.conv_general_dilated(
-        x4, p["kernel"].astype(x.dtype),
-        window_strides=(stride, stride),
-        padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    k = p["kernel"].astype(x.dtype)
+    h = x4.shape[1]
+    if (k.shape[0] == 3 and k.shape[1] == 3 and stride == 1
+            and padding == "SAME" and h >= _STRIP_MIN_H
+            and h % _STRIP_H == 0):
+        y = _conv3x3_strips(x4, k)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x4, k,
+            window_strides=(stride, stride),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
     if "bias" in p:
         y = y + p["bias"].astype(y.dtype)
     return y.reshape(lead + y.shape[1:])
