@@ -38,7 +38,8 @@ def main():
                     choices=["auto", "xla", "pallas"])
     ap.add_argument("--no_remat", action="store_true")
     ap.add_argument("--remat_policy", default=None,
-                    choices=["component", "component_lite"],
+                    choices=["component", "component_lite",
+                             "component_lite1"],
                     help="override the stage-2 remat policy (default: "
                          "stage2.make_train_step's mapping of True)")
     ap.add_argument("--profile", action="store_true",

@@ -272,15 +272,19 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps, ctx: Tuple,
     # double-attn motion blocks that pushed the stage-2 step past 16 GB
     # HBM. Inner remats stay on under "component", bounding backward
     # replay memory to one block at a time.
-    component = remat in ("component", "component_lite")
+    component = remat in ("component", "component_lite", "component_lite1")
     inner = bool(remat)
     # "component_lite": store (don't checkpoint) components whose hidden
     # spatial area is <= 32x32 — the level-2 sites are the FLOP-dominant
     # part of the backward replay (10-layer 1280ch transformer stacks)
     # while their internals are the cheapest to store (~2 GB at the
     # stage-2 8f@1024^2 shape, which fits the post-"component" headroom).
-    # Levels 0-1 keep the full component checkpoint.
-    lite_area = 1024 if remat == "component_lite" else 0
+    # Levels 0-1 keep the full component checkpoint. "component_lite1"
+    # additionally stores the 64x64 level-1 components (their scanned
+    # transformer internals keep the inner remat, so the addition is
+    # bounded by the per-layer scan carries).
+    lite_area = {"component_lite": 1024, "component_lite1": 4096}.get(
+        remat, 0)
 
     def _stored(h):
         return component and h.shape[-3] * h.shape[-2] <= lite_area

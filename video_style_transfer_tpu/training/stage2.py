@@ -176,15 +176,17 @@ def make_train_step(unet_cfg: UNetConfig, sched, optimizer, pairs, *,
     # Stage 2 needs the component-level remat policy: the double-attn
     # motion blocks' module-level temps (norm/proj at 16384-token level-0
     # shapes) push the 8f@1024^2 step past 16 GB HBM under the inner-only
-    # policy stage 1 uses. "component_lite" additionally stores the
-    # small-spatial (32x32) level-2 components instead of rematting
-    # them — measured 2.52 -> 2.19 s/step at 8f@1024^2 on v5e (the
-    # level-2 transformer stacks dominate replay FLOPs but their
-    # internals are the cheapest to store). Pass remat="component" if a
-    # smaller-HBM part needs the fully-checkpointed form. See
-    # unet_apply's remat docstring.
+    # policy stage 1 uses. "component_lite1" additionally stores the
+    # small-spatial (<=64x64) level-1/2 components instead of rematting
+    # them — measured 2.52 ("component") -> 2.19 ("component_lite",
+    # levels-2 stored) -> 2.07 s/step (levels 1+2 stored) at 8f@1024^2
+    # on v5e: those levels dominate replay FLOPs while their internals
+    # are the cheapest to store (level-1 scanned transformers keep the
+    # inner remat, so the addition is bounded by scan carries). Pass
+    # remat="component"/"component_lite" if a smaller-HBM part needs
+    # more checkpointing. See unet_apply's remat docstring.
     if remat is True:
-        remat = "component_lite"
+        remat = "component_lite1"
 
     def step(state: Stage2State, batch, key):
         params = state.params
