@@ -291,11 +291,10 @@ def build_decode(tiny: bool, frames: int, res: int, chunk: int = 1):
     """fp32 per-frame VAE decode in per-chunk calls (the tunnel kills
     single executions > ~1 min; chunked calls are both the production
     memory shape AND watchdog-safe). chunk 1 measured FASTEST per frame
-    (0.203 s/f vs 0.337 at chunk 2, controlled same-process A/B): XLA
-    lowers the big-spatial decoder convs via its space-to-batch
-    transform, whose copy/select plumbing tiles far better at N=1.
-    chunk 4's fp32 decoder activations additionally OOM 16 GB HBM with
-    the UNet+CLIP weights resident."""
+    (0.179 s/f with strip-batched 64-row convs — layers._conv3x3_strips
+    replaces XLA's space-to-batch plumbing — vs 0.197 at chunk 4);
+    chunk 4's fp32 decoder activations additionally flirt with 16 GB
+    HBM with the UNet+CLIP weights resident."""
     from video_style_transfer_tpu.config import VAEConfig
     from video_style_transfer_tpu.models.vae import init_vae
     from video_style_transfer_tpu.pipelines.image import decode_images
@@ -398,7 +397,23 @@ def main():
     denoise_s = timed(execute, seed)
 
     if args.workload == "image":
-        per_image = denoise_s / args.batch
+        # e2e like the video metric: triple-prompt text encode (the
+        # pipeline encodes combined/content/style through both towers),
+        # 50-step denoise, fp32 decode of every image in the batch.
+        text_once = build_text_encode(args.tiny)
+
+        def text3(s):
+            text_once(s)
+            text_once(s + 1)
+            text_once(s + 2)
+        text_s = timed(text3, seed + 101)
+        del execute
+        import gc
+        gc.collect()
+        decode_s = timed(build_decode(args.tiny, args.batch, args.res),
+                         seed + 202)
+        e2e_s = text_s + denoise_s + decode_s
+        per_image = e2e_s / args.batch
         print(json.dumps({
             "metric": f"unziplora_sdxl_image_{args.res}px_{args.steps}step"
                       f"_latency" + (f"_batch{args.batch}"
@@ -406,6 +421,9 @@ def main():
             "value": round(per_image, 4),
             "unit": "sec/image/chip",
             "vs_baseline": round(20.0 / max(per_image, 1e-9), 4),
+            "components_s": {"text_encode_3prompts": round(text_s, 3),
+                             "denoise": round(denoise_s, 3),
+                             "vae_decode": round(decode_s, 3)},
         }))
         return
 
