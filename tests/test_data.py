@@ -190,3 +190,56 @@ def test_native_bpe_matches_python(tok_dir):
         py_ids = tok(p)[0].tolist()
         tok._init_native()
         assert native_ids == py_ids, p
+
+
+def test_frame_ids_and_meta(video_dir):
+    """frame_ids clamps the pad-repeat tail to the last real frame, and
+    sample_batch_meta pairs each sampled clip with its ids."""
+    ds = VideoClipDataset(video_dir, num_frames=8, resolution=16)
+    # b.mp4 has 6 frames -> its single clip pads frames 6,7 to id 5
+    bi = [k for k, (p, s) in enumerate(ds.index) if p.endswith("b.mp4")]
+    assert len(bi) == 1
+    vid_b = ds.videos.index([p for p in ds.videos if p.endswith("b.mp4")][0])
+    ids = ds.frame_ids(bi[0])
+    assert ids == [(vid_b, i) for i in [0, 1, 2, 3, 4, 5, 5, 5]]
+    frames, metas = ds.sample_batch_meta(3, seed=7)
+    assert frames.shape == (3, 8, 16, 16, 3)
+    assert len(metas) == 3 and all(len(m) == 8 for m in metas)
+    # meta must be consistent with a plain sample at the same seed
+    frames2 = ds.sample_batch(3, seed=7)
+    np.testing.assert_array_equal(frames, frames2)
+
+
+def test_latent_moment_cache_matches_direct_encode(video_dir):
+    """Cached latents equal the direct stochastic encode (same key, same
+    draw shape), and cache hits skip the encoder."""
+    import jax
+    import jax.numpy as jnp
+    from video_style_transfer_tpu.cli import common
+    from video_style_transfer_tpu.config import VAEConfig
+    from video_style_transfer_tpu.models.vae import init_vae
+
+    vcfg = VAEConfig.tiny()
+    vae = init_vae(jax.random.PRNGKey(0), vcfg)
+    bundle = common.ModelBundle(
+        unet=None, unet_cfg=None, vae=vae, vae_cfg=vcfg,
+        clip_l=None, clip_l_cfg=None, clip_g=None, clip_g_cfg=None)
+
+    ds = VideoClipDataset(video_dir, num_frames=4, resolution=16)
+    frames, ids = ds.sample_batch_meta(2, seed=3)
+    key = jax.random.PRNGKey(11)
+
+    cache = common.LatentMomentCache(bundle)
+    got = cache.latents(frames, ids, key)
+    want = common.encode_latents(
+        bundle, frames.reshape(-1, 16, 16, 3), key=key)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    # second call with the same clips: no new encoder invocations
+    calls = []
+    orig = cache._enc
+    cache._enc = lambda p, x: (calls.append(1), orig(p, x))[1]
+    got2 = cache.latents(frames, ids, jax.random.PRNGKey(12))
+    assert calls == []
+    assert got2.shape == got.shape

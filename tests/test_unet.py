@@ -90,9 +90,36 @@ def test_remat_matches(tiny):
     cfg, params = tiny
     sample, t, ctx, pooled, tids = _inputs(cfg)
     o1 = unet_apply(params, cfg, sample, t, ctx, pooled, tids, mode="base")
-    o2 = unet_apply(params, cfg, sample, t, ctx, pooled, tids, mode="base",
-                    remat=True)
-    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+    for policy in (True, "component", "component_lite", "component_lite1"):
+        o2 = unet_apply(params, cfg, sample, t, ctx, pooled, tids,
+                        mode="base", remat=policy)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   atol=1e-6)
+
+
+def test_remat_policies_same_gradients(tiny):
+    """Checkpoint policies must be value/grad-neutral: every remat
+    level (inner, component, and both level-split variants) produces
+    the same loss gradients as the unrematted forward."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg, params = tiny
+    sample, t, ctx, pooled, tids = _inputs(cfg)
+
+    def loss(p, policy):
+        out = unet_apply(p, cfg, sample, t, ctx, pooled, tids,
+                         mode="base", remat=policy)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    for policy in (True, "component", "component_lite1"):
+        g1 = jax.grad(lambda p: loss(p, policy))(params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=2e-4, rtol=2e-4),
+            g0, g1)
 
 
 def test_cfg_doubled_video_batch_independence():

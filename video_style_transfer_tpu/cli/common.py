@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from video_style_transfer_tpu.config import CLIPConfig, UNetConfig, VAEConfig
 from video_style_transfer_tpu.models.clip import encode_sdxl_prompt
 from video_style_transfer_tpu.models.unet import init_unet
-from video_style_transfer_tpu.models.vae import init_vae, vae_encode
+from video_style_transfer_tpu.models.vae import (init_vae, vae_encode,
+                                                 vae_encode_moments)
 from video_style_transfer_tpu.pipelines.image import default_time_ids
 from video_style_transfer_tpu.pipelines.sampling import Conditioning
 
@@ -174,3 +175,62 @@ def encode_latents(bundle: ModelBundle, images: np.ndarray,
     keeps the VAE fp32 in training, train_animatediff.py:67-71)."""
     return vae_encode(bundle.vae, bundle.vae_cfg,
                       jnp.asarray(images, jnp.float32), key=key)
+
+
+class LatentMomentCache:
+    """Per-frame VAE posterior-moment cache for video training.
+
+    The reference re-encodes every sampled clip each step
+    (train_animatediff.py:220-224) even though consecutive-start clips
+    of the same video overlap almost entirely — at 8f@1024^2 fp32 that
+    is 0.82 s/step of encode on a v5e chip (benchmarks/vae_encode.py)
+    against a 2.07 s train step. The posterior moments (mean, logvar)
+    of a frame are deterministic, so they are cached per
+    (video_idx, frame_idx) and only the stochastic draw
+    ``mean + std * eps`` happens per step — the latent DISTRIBUTION is
+    exactly the reference's, with a fresh eps each step, and the draw
+    uses the same key/shape as the uncached `vae_encode` path.
+
+    Entries are ~0.5 MB host RAM per 1024^2 frame; `max_entries` bounds
+    the cache (uncached frames fall back to direct encode without
+    insertion once full).
+    """
+
+    def __init__(self, bundle: ModelBundle, max_entries: int = 4096,
+                 chunk: int = 1):
+        self.bundle = bundle
+        self.max_entries = max_entries
+        self.chunk = chunk
+        self._cache: Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray]] = {}
+        self._enc = jax.jit(lambda p, x: vae_encode_moments(
+            p, bundle.vae_cfg, x))
+
+    def _moments(self, frames_flat: np.ndarray, ids_flat):
+        fresh: Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray]] = {}
+        missing = [k for k, fid in enumerate(ids_flat)
+                   if fid not in self._cache]
+        for s in range(0, len(missing), self.chunk):
+            grp = missing[s:s + self.chunk]
+            m, lv = self._enc(self.bundle.vae,
+                              jnp.asarray(frames_flat[grp], jnp.float32))
+            m, lv = np.asarray(m), np.asarray(lv)
+            for j, k in enumerate(grp):
+                fresh[ids_flat[k]] = (m[j], lv[j])
+                if len(self._cache) < self.max_entries:
+                    self._cache[ids_flat[k]] = (m[j], lv[j])
+        look = lambda fid: self._cache.get(fid) or fresh[fid]
+        means, logvars = zip(*(look(fid) for fid in ids_flat))
+        return np.stack(means), np.stack(logvars)
+
+    def latents(self, frames: np.ndarray, ids, key: jax.Array):
+        """frames (B, F, H, W, 3), ids[b][j] = hashable frame identity;
+        returns scaled latents (B*F, H/8, W/8, C) — same key/shape draw
+        as `encode_latents(bundle, frames.reshape(-1,...), key)`."""
+        b, f = frames.shape[:2]
+        flat = frames.reshape((-1,) + frames.shape[2:])
+        ids_flat = [fid for clip in ids for fid in clip]
+        mean, logvar = self._moments(flat, ids_flat)
+        mean = jnp.asarray(mean, jnp.float32)
+        std = jnp.exp(0.5 * jnp.asarray(logvar, jnp.float32))
+        z = mean + std * jax.random.normal(key, mean.shape, mean.dtype)
+        return z * self.bundle.vae_cfg.scaling_factor

@@ -88,10 +88,12 @@ class VideoClipDataset:
         if not self.videos:
             raise FileNotFoundError(f"no .mp4 under {root}")
         self.index: List[Tuple[str, int]] = []
+        self._totals = {}
         for path in self.videos:
             cap = cv2.VideoCapture(path)
             total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
             cap.release()
+            self._totals[path] = total
             starts = range(0, max(total - num_frames + 1, 1), stride)
             for s in starts:
                 self.index.append((path, s))
@@ -132,6 +134,25 @@ class VideoClipDataset:
         rng = np.random.RandomState(seed)
         idx = rng.randint(0, len(self.index), size=batch_size)
         return np.stack([self[int(i)] for i in idx])
+
+    def frame_ids(self, i: int) -> List[Tuple[int, int]]:
+        """Per-frame identities (video_idx, frame_idx) for clip i, with
+        the short-video pad-repeat clamp applied — frames that repeat the
+        last readable frame share its id, so a latent-moments cache keyed
+        on these ids is exact."""
+        path, start = self.index[i]
+        vid = self.videos.index(path)
+        last = max(self._totals[path] - 1, start)
+        return [(vid, min(start + j, last)) for j in range(self.num_frames)]
+
+    def sample_batch_meta(self, batch_size: int, seed: int):
+        """Like sample_batch but also returns the per-clip frame ids:
+        (frames (B,F,H,W,3), ids[b][j] = (video_idx, frame_idx))."""
+        rng = np.random.RandomState(seed)
+        idx = rng.randint(0, len(self.index), size=batch_size)
+        frames = np.stack([self[int(i)] for i in idx])
+        ids = [self.frame_ids(int(i)) for i in idx]
+        return frames, ids
 
 
 def extract_frames(video_path: str, num_frames: int = 1,
