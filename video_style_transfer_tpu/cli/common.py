@@ -177,6 +177,26 @@ def encode_latents(bundle: ModelBundle, images: np.ndarray,
                       jnp.asarray(images, jnp.float32), key=key)
 
 
+def encode_latent_moments(bundle: ModelBundle, images: np.ndarray):
+    """(N, H, W, 3) [-1,1] -> posterior (mean, logvar), unscaled. The
+    trainers precompute these once for their fixed image sets and draw
+    `mean + std*eps` per step — matching the reference's per-step
+    `latent_dist.sample()` (train_unziplora.py:2023) without re-running
+    the encoder."""
+    return vae_encode_moments(bundle.vae, bundle.vae_cfg,
+                              jnp.asarray(images, jnp.float32))
+
+
+def sample_scaled_latents(bundle: ModelBundle, moments, idx,
+                          key: jax.Array) -> jnp.ndarray:
+    """Draw scaled latents for rows `idx` of precomputed moments."""
+    mean, logvar = moments
+    mean, logvar = mean[idx], logvar[idx]
+    z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+        key, mean.shape, mean.dtype)
+    return z * bundle.vae_cfg.scaling_factor
+
+
 class LatentMomentCache:
     """Per-frame VAE posterior-moment cache for video training.
 

@@ -199,7 +199,10 @@ def main(argv=None):
     else:
         raise SystemExit("need --instance_video or --instance_data_dir")
 
-    latents = common.encode_latents(bundle, images)
+    # posterior moments once; a fresh sample is drawn per step (the
+    # reference calls latent_dist.sample() every step,
+    # train_unziplora.py:2023)
+    moments = common.encode_latent_moments(bundle, images)
 
     # dual prior preservation (reference train_unziplora.py:2085-2132):
     # class images encoded once; the trainer adds mode-switched forwards
@@ -213,7 +216,7 @@ def main(argv=None):
         cls_emb, cls_pooled = common.encode_prompt(bundle,
                                                    pprompt or "")
         priors[branch] = {
-            "latents": common.encode_latents(bundle, cls_imgs),
+            "moments": common.encode_latent_moments(bundle, cls_imgs),
             "ctx": cls_emb, "pooled": cls_pooled,
             "time_ids": jnp.asarray([[res, res, 0, 0, res, res]],
                                     jnp.float32),
@@ -274,7 +277,7 @@ def main(argv=None):
     timer = StepTimer()
     b = args.train_batch_size
 
-    n = latents.shape[0]
+    n = moments[0].shape[0]
     start = int(state.step)
     # fold the resume step into the key stream: a fresh PRNGKey(seed)
     # split per iteration would replay the exact pre-checkpoint
@@ -282,10 +285,11 @@ def main(argv=None):
     rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), start)
     last_log_step = start
     for step in range(start, max_steps):
-        rng, key, bkey, pbkey = jax.random.split(rng, 4)
+        rng, key, bkey, pbkey, lkey = jax.random.split(rng, 5)
         idx = jax.random.randint(bkey, (b,), 0, n)
         batch = {
-            "latents": latents[idx],
+            "latents": common.sample_scaled_latents(bundle, moments,
+                                                    idx, lkey),
             "ctx": jnp.repeat(emb, b, axis=0),
             "ctx_content": jnp.repeat(emb_c, b, axis=0),
             "ctx_style": jnp.repeat(emb_s, b, axis=0),
@@ -295,14 +299,16 @@ def main(argv=None):
                 (b, 1)),
         }
         for bi, (branch, prior) in enumerate(priors.items()):
-            pn = prior["latents"].shape[0]
+            pn = prior["moments"][0].shape[0]
             # independent draw per branch (reusing bkey would pick the
             # SAME indices as the instance batch whenever pn == n, and
             # identical class batches for both branches)
             pidx = jax.random.randint(jax.random.fold_in(pbkey, bi),
                                       (b,), 0, pn)
             batch[f"prior_{branch}"] = {
-                "latents": prior["latents"][pidx],
+                "latents": common.sample_scaled_latents(
+                    bundle, prior["moments"], pidx,
+                    jax.random.fold_in(lkey, bi + 1)),
                 "ctx": jnp.repeat(prior["ctx"], b, axis=0),
                 "pooled": jnp.repeat(prior["pooled"], b, axis=0),
                 "time_ids": jnp.tile(prior["time_ids"], (b, 1)),
