@@ -107,6 +107,8 @@ def main():
             "time_ids": jnp.asarray([[res, res, 0, 0, res, res]], dt),
         }
 
+    if args.remat_policy and args.no_remat:
+        ap.error("--remat_policy conflicts with --no_remat")
     remat = args.remat_policy or (not args.no_remat)
     step = stage2.make_train_step(cfg, sched, opt, pairs, mask=mask,
                                   lora_state=lora_state, impl=args.impl,

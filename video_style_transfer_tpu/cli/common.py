@@ -227,8 +227,14 @@ class LatentMomentCache:
 
     def _moments(self, frames_flat: np.ndarray, ids_flat):
         fresh: Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray]] = {}
-        missing = [k for k, fid in enumerate(ids_flat)
-                   if fid not in self._cache]
+        # one encode per DISTINCT missing id (pad-repeat tails and
+        # overlapping clips duplicate ids within a batch)
+        seen = set()
+        missing = []
+        for k, fid in enumerate(ids_flat):
+            if fid not in self._cache and fid not in seen:
+                seen.add(fid)
+                missing.append(k)
         for s in range(0, len(missing), self.chunk):
             grp = missing[s:s + self.chunk]
             m, lv = self._enc(self.bundle.vae,

@@ -121,15 +121,24 @@ def main(argv=None):
     pairs = spatial_pairs(params)
 
     # ---- data ----------------------------------------------------------
-    if not args.video_dir:
+    ds = None
+    if args.video_dir:
+        try:
+            ds = VideoClipDataset(args.video_dir, num_frames=f,
+                                  resolution=res)
+        except (FileNotFoundError, IOError):
+            if not args.smoke:
+                raise
+            # smoke stays weights-and-data-free: fall back to synthetic
+            print(f"smoke: no readable videos under {args.video_dir}; "
+                  "using synthetic clips")
+    if ds is None:
         def sample_clip(seed):
             return np.asarray(jax.random.uniform(
                 jax.random.PRNGKey(seed),
                 (args.train_batch_size, f, res, res, 3),
                 minval=-1.0, maxval=1.0)), None
     else:
-        ds = VideoClipDataset(args.video_dir, num_frames=f, resolution=res)
-
         def sample_clip(seed):
             return ds.sample_batch_meta(args.train_batch_size, seed)
 
@@ -138,7 +147,7 @@ def main(argv=None):
     # encode cost (~0.82 s at 8f@1024^2 fp32) disappears; the latent
     # draw stays stochastic per step. --no_latent_cache restores the
     # reference's re-encode-every-step behavior.
-    moment_cache = (None if (args.no_latent_cache or not args.video_dir)
+    moment_cache = (None if (args.no_latent_cache or ds is None)
                     else common.LatentMomentCache(bundle))
 
     emb, pooled = common.encode_prompt(bundle, args.prompt)
@@ -189,8 +198,13 @@ def main(argv=None):
         if moment_cache is not None:
             latents = moment_cache.latents(frames, frame_ids, enc_key)
         else:
-            latents = common.encode_latents(
-                bundle, frames.reshape(-1, res, res, 3), key=enc_key)
+            # chunked: a single 8-frame fp32 encode at 1024^2 is 18 GB
+            # of activations and OOMs the chip (benchmarks/vae_encode.py)
+            flat = frames.reshape(-1, res, res, 3)
+            latents = jnp.concatenate([
+                common.encode_latents(bundle, flat[k:k + 1],
+                                      key=jax.random.fold_in(enc_key, k))
+                for k in range(flat.shape[0])])
         lh = latents.shape[1]
         batch = {
             "latents": latents.reshape(b, f, lh, lh, 4),

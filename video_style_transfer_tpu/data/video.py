@@ -101,7 +101,11 @@ class VideoClipDataset:
     def __len__(self) -> int:
         return len(self.index)
 
-    def __getitem__(self, i: int) -> np.ndarray:
+    def _load(self, i: int):
+        """-> (frames (F,H,W,3) float32 [-1,1], n_read). n_read is the
+        number of ACTUALLY decoded frames (the pad-repeat tail repeats
+        frame n_read-1), so per-frame identities derived from it are
+        exact even when cv2's frame-count metadata lies."""
         cv2 = _require_cv2()
         path, start = self.index[i]
         cap = cv2.VideoCapture(path)
@@ -119,15 +123,20 @@ class VideoClipDataset:
             cap.release()
             if not raw:
                 raise IOError(f"failed to read frames from {path}@{start}")
+            n_read = len(raw)
             raw = _pad_repeat(raw, self.num_frames)
             return native.preprocess_frames_bgr(
-                np.stack(raw), self.resolution, self.resolution)
+                np.stack(raw), self.resolution, self.resolution), n_read
         frames = _read_frames(cap, start, self.num_frames, self.resolution)
         cap.release()
         if not frames:
             raise IOError(f"failed to read frames from {path}@{start}")
+        n_read = len(frames)
         frames = _pad_repeat(frames, self.num_frames)
-        return _normalize(frames)
+        return _normalize(frames), n_read
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        return self._load(i)[0]
 
     def sample_batch(self, batch_size: int, seed: int) -> np.ndarray:
         """(B, F, H, W, 3) deterministic given seed."""
@@ -135,23 +144,29 @@ class VideoClipDataset:
         idx = rng.randint(0, len(self.index), size=batch_size)
         return np.stack([self[int(i)] for i in idx])
 
-    def frame_ids(self, i: int) -> List[Tuple[int, int]]:
-        """Per-frame identities (video_idx, frame_idx) for clip i, with
-        the short-video pad-repeat clamp applied — frames that repeat the
-        last readable frame share its id, so a latent-moments cache keyed
-        on these ids is exact."""
+    def _ids_for(self, i: int, n_read: int) -> List[Tuple[int, int]]:
         path, start = self.index[i]
         vid = self.videos.index(path)
-        last = max(self._totals[path] - 1, start)
+        last = start + n_read - 1
         return [(vid, min(start + j, last)) for j in range(self.num_frames)]
+
+    def frame_ids(self, i: int) -> List[Tuple[int, int]]:
+        """Per-frame identities (video_idx, frame_idx) for clip i, with
+        the short-video pad-repeat clamp applied — padded frames share
+        the id of the last ACTUALLY decoded frame (decodes the clip to
+        count reads; use sample_batch_meta to get frames + ids in one
+        decode), so a latent-moments cache keyed on these ids is exact."""
+        _, n_read = self._load(i)
+        return self._ids_for(i, n_read)
 
     def sample_batch_meta(self, batch_size: int, seed: int):
         """Like sample_batch but also returns the per-clip frame ids:
         (frames (B,F,H,W,3), ids[b][j] = (video_idx, frame_idx))."""
         rng = np.random.RandomState(seed)
         idx = rng.randint(0, len(self.index), size=batch_size)
-        frames = np.stack([self[int(i)] for i in idx])
-        ids = [self.frame_ids(int(i)) for i in idx]
+        loads = [self._load(int(i)) for i in idx]
+        frames = np.stack([f for f, _ in loads])
+        ids = [self._ids_for(int(i), n) for i, (_, n) in zip(idx, loads)]
         return frames, ids
 
 

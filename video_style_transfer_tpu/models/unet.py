@@ -274,17 +274,20 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps, ctx: Tuple,
     # replay memory to one block at a time.
     component = remat in ("component", "component_lite", "component_lite1")
     inner = bool(remat)
-    # "component_lite": store (don't checkpoint) components whose hidden
-    # spatial area is <= 32x32 — the level-2 sites are the FLOP-dominant
-    # part of the backward replay (10-layer 1280ch transformer stacks)
-    # while their internals are the cheapest to store (~2 GB at the
-    # stage-2 8f@1024^2 shape, which fits the post-"component" headroom).
-    # Levels 0-1 keep the full component checkpoint. "component_lite1"
-    # additionally stores the 64x64 level-1 components (their scanned
-    # transformer internals keep the inner remat, so the addition is
-    # bounded by the per-layer scan carries).
-    lite_area = {"component_lite": 1024, "component_lite1": 4096}.get(
-        remat, 0)
+    # "component_lite": store (don't checkpoint) LEVEL-2 components —
+    # they are the FLOP-dominant part of the backward replay (10-layer
+    # 1280ch transformer stacks) while their internals are the cheapest
+    # to store (~2 GB at the stage-2 8f@1024^2 shape, which fits the
+    # post-"component" headroom). Levels 0-1 keep the full component
+    # checkpoint. "component_lite1" additionally stores the level-1
+    # components (their scanned transformer internals keep the inner
+    # remat, so the addition is bounded by the per-layer scan carries).
+    # Thresholds are RELATIVE to the input sample's spatial area (level
+    # k sits at area/4^k), so the level split tracks the training
+    # resolution instead of hard-coding the 1024^2-measured sizes.
+    in_area = sample.shape[-3] * sample.shape[-2]
+    lite_area = {"component_lite": in_area // 16,
+                 "component_lite1": in_area // 4}.get(remat, 0)
 
     def _stored(h):
         return component and h.shape[-3] * h.shape[-2] <= lite_area

@@ -73,7 +73,8 @@ def _kernel(x_ref, s_ref, b_ref, o_ref, *, eps, stats):
                   + b_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-def _fwd_call(x2d, scale, bias, eps, block_m, stats="dot", interpret=None):
+def _fwd_call(x2d, scale, bias, eps, block_m, stats="reduce",
+              interpret=None):
     if interpret is None:
         from video_style_transfer_tpu.ops.common import should_interpret
         interpret = should_interpret()
@@ -121,7 +122,7 @@ _ln.defvjp(_ln_fwd, _ln_bwd)
 
 
 def layer_norm(x, scale, bias, *, eps: float = 1e-5, block_m: int = 256,
-               stats: str = "dot"):
+               stats: str = "reduce"):
     """LayerNorm over the minor axis with scale/bias, fused in one pass.
 
     x: (..., C). Falls back to the XLA reference when the shape doesn't
