@@ -157,11 +157,23 @@ def _pick_block_i(inner: int, cap: int) -> int:
     return best
 
 
-def geglu_projection(x, w, b, *, block_m: int = 512, block_i: int = 512):
+import os as _os
+
+# benchmarks/geglu_sweep.py (on-chip 24-iter chain, v5e): block_m=2048
+# beats 512 at every serving shape — video L1 132.6 -> 140.9 TF/s, video
+# L2 160.6 -> 169.3, image-b4 L2 185.8 -> 194.4 (W streams once per row
+# block, so quadrupling block_m cuts W re-reads 4x; past 2048 the f32
+# h/g intermediates crowd VMEM and L2-shape times regress).
+_DEFAULT_BLOCK_M = int(_os.environ.get("VST_GEGLU_BLOCK_M", "2048"))
+
+
+def geglu_projection(x, w, b, *, block_m: int = None, block_i: int = 512):
     """x: (..., C); w: (C, 2*inner); b: (2*inner,). Returns
     (..., inner) = h * gelu(g) with [h|g] = x@w + b. Falls back to the
     XLA form when shapes don't tile (tiny test configs). C needs no
     alignment — the x/W blocks span the full C dim."""
+    if block_m is None:
+        block_m = _DEFAULT_BLOCK_M
     c = x.shape[-1]
     inner = w.shape[1] // 2
     lead = x.shape[:-1]
