@@ -64,3 +64,52 @@ def test_stage1_resume(tmp_path):
     state = train1(args + ["--smoke_steps", "6",
                            "--resume_from_checkpoint", "latest"])
     assert int(state.step) == 6
+
+
+@pytest.mark.slow
+@pytest.mark.e2e
+def test_prior_preservation_class_image_generation(tmp_path):
+    """--with_prior_preservation tops up a short class dir by sampling
+    the base model before training (reference
+    train_unziplora.py:1166-1227: `{index}-{sha1}.jpg` names, existing
+    images count toward --num_class_images) and the generated images
+    then feed the prior loss."""
+    out = str(tmp_path / "stage1")
+    cls_dir = tmp_path / "class_imgs"
+    cls_dir.mkdir()
+    # one pre-existing image: only the shortfall should be generated
+    import numpy as np
+    from PIL import Image
+    Image.fromarray(
+        np.zeros((16, 16, 3), np.uint8)).save(cls_dir / "existing.jpg")
+
+    from video_style_transfer_tpu.cli.train_unziplora import main as train1
+    train1(["--smoke", "--smoke_steps", "2", "--num_instance_frames", "1",
+            "--instance_prompt", "p", "--content_forward_prompt", "c",
+            "--style_forward_prompt", "s", "--output_dir", out,
+            "--with_prior_preservation", "--class_data_dir", str(cls_dir),
+            "--class_prompt", "a horse", "--prior_loss_weight", "0.5",
+            "--num_class_images", "3", "--sample_batch_size", "2",
+            "--prior_generation_steps", "2",
+            "--checkpointing_steps", "100"])
+    files = sorted(cls_dir.iterdir())
+    assert len(files) == 3
+    generated = [f for f in files if f.name != "existing.jpg"]
+    assert len(generated) == 2
+    for f in generated:
+        # reference naming: {index}-{sha1}.jpg
+        idx, digest = f.stem.split("-", 1)
+        assert idx.isdigit() and len(digest) == 40
+        assert f.stat().st_size > 0
+
+
+def test_prior_preservation_flag_validation():
+    """--with_prior_preservation without a class dir/prompt exits with an
+    error (reference train_unziplora.py:840-848)."""
+    import pytest as _pytest
+    from video_style_transfer_tpu.cli.train_unziplora import main as train1
+    base = ["--smoke", "--smoke_steps", "1", "--num_instance_frames", "1",
+            "--instance_prompt", "p", "--content_forward_prompt", "c",
+            "--style_forward_prompt", "s", "--with_prior_preservation"]
+    with _pytest.raises(SystemExit):
+        train1(base)

@@ -87,6 +87,18 @@ def build_parser():
                    help="style prior-preservation image dir")
     p.add_argument("--class_prompt_2", default=None)
     p.add_argument("--prior_loss_weight_2", type=float, default=0.0)
+    p.add_argument("--with_prior_preservation", action="store_true",
+                   help="auto-generate missing class images with the base "
+                        "SDXL pipeline before training (reference "
+                        "train_unziplora.py:1166-1227)")
+    p.add_argument("--num_class_images", type=int, default=100,
+                   help="minimum class images per prior dir; the shortfall "
+                        "is generated from --class_prompt[_2]")
+    p.add_argument("--sample_batch_size", type=int, default=4,
+                   help="batch size for class-image generation")
+    p.add_argument("--prior_generation_steps", type=int, default=25,
+                   help="denoise steps for generated class images (the "
+                        "reference uses the pipeline default)")
     p.add_argument("--validation_prompt", default=None)
     p.add_argument("--validation_prompt_content", default=None)
     p.add_argument("--validation_prompt_style", default=None)
@@ -160,6 +172,56 @@ def _run_validation(args, bundle, state, res, step, logger=None):
             logger.log_images(step, {f"validation/{mode}": img})
 
 
+def _ensure_class_images(args, bundle, class_data_dir, class_prompt, res):
+    """Top up a prior-preservation class dir to --num_class_images by
+    sampling the *base* model (no LoRA), mirroring the reference's
+    pre-training generation pass (train_unziplora.py:1166-1227): files are
+    named `{index}-{sha1(image)}.jpg` and existing images count toward
+    the quota."""
+    import hashlib
+
+    from video_style_transfer_tpu.cli import common
+    from video_style_transfer_tpu.data.video_io import save_image
+    from video_style_transfer_tpu.pipelines.image import generate_images
+
+    os.makedirs(class_data_dir, exist_ok=True)
+    cur = len(os.listdir(class_data_dir))
+    num_new = args.num_class_images - cur
+    if num_new <= 0:
+        return 0
+
+    bsz = max(args.sample_batch_size, 1)
+    uncond = common.negative_conditioning(bundle, "", height=res, width=res)
+    cond = common.make_conditioning(bundle, class_prompt or "",
+                                    class_prompt or "", class_prompt or "",
+                                    height=res, width=res)
+    if bsz > 1:  # conditioning rows must match the sample batch
+        from video_style_transfer_tpu.pipelines.sampling import Conditioning
+        tile = lambda e: (None if e is None
+                          else jnp.tile(e, (bsz,) + (1,) * (e.ndim - 1)))
+        uncond, cond = (Conditioning(ctx=tuple(tile(e) for e in c.ctx),
+                                     pooled=tile(c.pooled),
+                                     time_ids=tile(c.time_ids))
+                        for c in (uncond, cond))
+    run = jax.jit(functools.partial(
+        generate_images, unet_cfg=bundle.unet_cfg,
+        vae_params=bundle.vae, vae_cfg=bundle.vae_cfg,
+        height=res, width=res, batch=bsz,
+        num_steps=args.prior_generation_steps, mode="base",
+        dtype=jnp.float32 if args.smoke else jnp.bfloat16,
+        vae_scale_factor=bundle.vae_scale_factor))
+    made = 0
+    while made < num_new:
+        imgs = jax.device_get(run(bundle.unet, uncond=uncond, cond=cond,
+                                  key=jax.random.PRNGKey(cur + made)))
+        for img in imgs[:num_new - made]:
+            digest = hashlib.sha1(img.tobytes()).hexdigest()
+            save_image(img, os.path.join(
+                class_data_dir, f"{cur + made}-{digest}.jpg"))
+            made += 1
+    return made
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     from video_style_transfer_tpu.cli import common
@@ -206,6 +268,21 @@ def main(argv=None):
 
     # dual prior preservation (reference train_unziplora.py:2085-2132):
     # class images encoded once; the trainer adds mode-switched forwards
+    if args.with_prior_preservation:
+        # reference validation (train_unziplora.py:840-848) + pre-training
+        # class-image generation with the base pipeline (:1166-1227)
+        if not args.class_data_dir:
+            raise SystemExit(
+                "--with_prior_preservation needs --class_data_dir")
+        if args.class_prompt is None:
+            raise SystemExit(
+                "--with_prior_preservation needs --class_prompt")
+        for ddir, pprompt in ((args.class_data_dir, args.class_prompt),
+                              (args.class_data_dir_2, args.class_prompt_2)):
+            if ddir:
+                n = _ensure_class_images(args, bundle, ddir, pprompt, res)
+                if n:
+                    print(f"generated {n} class images under {ddir}")
     priors = {}
     for branch, ddir, pprompt in (
             ("content", args.class_data_dir, args.class_prompt),
@@ -213,6 +290,10 @@ def main(argv=None):
         if not ddir:
             continue
         cls_imgs = load_image_dir(ddir, res)
+        if args.with_prior_preservation:
+            # the dataset caps usage at --num_class_images
+            # (train_unziplora.py:956-961)
+            cls_imgs = cls_imgs[:args.num_class_images]
         cls_emb, cls_pooled = common.encode_prompt(bundle,
                                                    pprompt or "")
         priors[branch] = {
