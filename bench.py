@@ -303,16 +303,27 @@ def build_decode(tiny: bool, frames: int, res: int, chunk: int = 1):
     vsf = 2 if tiny else 8
     vp = _zeros_init(lambda k: init_vae(k, vcfg), jax.random.PRNGKey(2))
     chunk = min(chunk, frames)
+    # frames decoded per fetched call: the production pipeline decodes
+    # ALL frames inside one jitted program (pipelines/video.py), so a
+    # per-frame fetch here over-counts this tunnel's fixed ~28.5 ms RPC
+    # floor 16x (~0.45 s of a ~2.9 s decode). lax.map over chunk-sized
+    # slices keeps the fast N=1 conv shapes (chunk 1 measured 0.179 s/f
+    # vs 0.197+ batched) while one call covers 4 frames (~0.72 s on
+    # chip — far under the ~1-min execution watchdog).
+    per_call = max(4 // chunk, 1)
 
     @jax.jit
-    def dec(vp_, z):
-        return jnp.sum(decode_images(vp_, vcfg, z).astype(jnp.float32))
+    def dec(vp_, zs):
+        out = jax.lax.map(
+            lambda z: jnp.sum(decode_images(vp_, vcfg, z)
+                              .astype(jnp.float32)), zs)
+        return jnp.sum(out)
 
-    lat_shape = (chunk, res // vsf, res // vsf, 4)
+    lat_shape = (per_call, chunk, res // vsf, res // vsf, 4)
 
     def execute(seed):
         total = 0.0
-        for i in range(max(frames // chunk, 1)):
+        for i in range(max(frames // (chunk * per_call), 1)):
             z = jax.random.normal(jax.random.PRNGKey(seed * 131 + i),
                                   lat_shape, jnp.float32)
             total += float(dec(vp, z))

@@ -51,7 +51,7 @@ class ModelBundle:
 
 def load_models(pretrained_model: Optional[str], *, smoke: bool = False,
                 motion: bool = False, dtype=jnp.bfloat16,
-                seed: int = 0) -> ModelBundle:
+                seed: int = 0, vae_path: Optional[str] = None) -> ModelBundle:
     if smoke or not pretrained_model:
         ucfg = UNetConfig.tiny(use_motion_modules=motion)
         vcfg = VAEConfig.tiny()
@@ -76,7 +76,8 @@ def load_models(pretrained_model: Optional[str], *, smoke: bool = False,
     from video_style_transfer_tpu.data.tokenizer import CLIPTokenizer
     from video_style_transfer_tpu.utils.hf_convert import load_sdxl
 
-    bundle = load_sdxl(pretrained_model, dtype=dtype, with_motion=motion)
+    bundle = load_sdxl(pretrained_model, dtype=dtype, with_motion=motion,
+                       vae_dir=vae_path)
     tok = tok2 = None
     tok_dir = os.path.join(pretrained_model, "tokenizer")
     tok2_dir = os.path.join(pretrained_model, "tokenizer_2")

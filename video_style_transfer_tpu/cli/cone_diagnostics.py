@@ -26,8 +26,12 @@ def load_arrays(path: str):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--weights", required=True)
-    p.add_argument("--grads", required=True)
+    p.add_argument("--weights")
+    p.add_argument("--grads")
+    p.add_argument("--scores", default=None,
+                   help="a grad_records/stepN.npz dumped by the stage-1 "
+                        "trainer's --with_grad_record: per-layer cone "
+                        "COLUMN scores; rendered directly as strips")
     p.add_argument("--output", default="cone_heatmap.png")
     p.add_argument("--threshold", type=float, default=1e-5)
     p.add_argument("--layers", nargs="*", default=None,
@@ -36,6 +40,19 @@ def main(argv=None):
 
     from video_style_transfer_tpu.utils.observability import (
         cone_column_sparsity, cone_from_arrays, render_cone_heatmaps)
+
+    if args.scores:
+        scores = load_arrays(args.scores)
+        keys = args.layers or sorted(scores)
+        # column scores are already the per-column cone aggregate: a
+        # (L, out) strip per stacked projection renders as-is
+        strips = {k: scores[k].reshape(-1, scores[k].shape[-1])
+                  for k in keys}
+        out = render_cone_heatmaps(strips, args.output)
+        print("wrote", out)
+        return out
+    if not args.weights or not args.grads:
+        raise SystemExit("need --weights and --grads (or --scores)")
 
     w = load_arrays(args.weights)
     g = load_arrays(args.grads)

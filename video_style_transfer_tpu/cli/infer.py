@@ -40,10 +40,17 @@ def build_parser():
     p.add_argument("--negative_prompt_style", default=None)
     p.add_argument("--mode", default="both",
                    choices=["both", "content", "style", "base"])
-    p.add_argument("--output_dir", default="out/images")
+    p.add_argument("--output_dir", "--save_dir", dest="output_dir",
+                   default="out/images")
+    p.add_argument("--num", type=int, default=1,
+                   help="images per (prompt, seed) (reference "
+                        "infer.py:99 generates num per seed)")
     p.add_argument("--num_inference_steps", type=int, default=50)
     p.add_argument("--guidance_scale", type=float, default=5.0)
     p.add_argument("--resolution", type=int, default=1024)
+    p.add_argument("--height", type=int, default=None,
+                   help="defaults to --resolution")
+    p.add_argument("--width", type=int, default=None)
     p.add_argument("--sampler", default="euler", choices=["euler", "dpm"])
     p.add_argument("--seeds", type=int, nargs="+",
                    default=[0, 1000, 111, 1234])
@@ -63,6 +70,8 @@ def main(argv=None):
     bundle = common.load_models(args.pretrained_model_name_or_path,
                                 smoke=args.smoke, motion=False)
     res = args.resolution if not args.smoke else 16
+    height = (args.height or res) if not args.smoke else res
+    width = (args.width or res) if not args.smoke else res
     steps = args.num_inference_steps if not args.smoke else 2
 
     params, state = bundle.unet, None
@@ -106,11 +115,11 @@ def main(argv=None):
 
     cond = common.make_conditioning(
         bundle, args.prompt, args.prompt_content, args.prompt_style,
-        height=res, width=res, prompt_2=args.prompt_2,
+        height=height, width=width, prompt_2=args.prompt_2,
         prompt_content_2=args.prompt_content_2,
         prompt_style_2=args.prompt_style_2)
     uncond = common.negative_conditioning(
-        bundle, args.negative_prompt, height=res, width=res,
+        bundle, args.negative_prompt, height=height, width=width,
         negative_prompt_2=args.negative_prompt_2,
         negative_prompt_content=args.negative_prompt_content,
         negative_prompt_style=args.negative_prompt_style)
@@ -118,7 +127,7 @@ def main(argv=None):
     # prompts reuse the compiled program
     run = jax.jit(lambda p, u, c, key: generate_images(
         p, bundle.unet_cfg, bundle.vae, bundle.vae_cfg, u, c, key,
-        height=res, width=res, num_steps=steps,
+        height=height, width=width, num_steps=steps,
         cfg_scale=args.guidance_scale, sampler=args.sampler,
         mode=args.mode, state=state,
         dtype=jnp.float32 if args.smoke else jnp.bfloat16,
@@ -126,12 +135,17 @@ def main(argv=None):
 
     outs = []
     for seed in args.seeds:
-        imgs = run(params, uncond, cond, jax.random.PRNGKey(seed))
-        path = os.path.join(args.output_dir,
-                            f"{args.mode}_seed{seed}.png")
-        save_image(jax.device_get(imgs[0]), path)
-        outs.append(path)
-        print("wrote", path)
+        for i in range(max(args.num, 1)):
+            # --num images per seed (reference infer.py:99); i folds
+            # into the key so each draw differs
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
+            imgs = run(params, uncond, cond, key)
+            suffix = f"_{i}" if args.num > 1 else ""
+            path = os.path.join(args.output_dir,
+                                f"{args.mode}_seed{seed}{suffix}.png")
+            save_image(jax.device_get(imgs[0]), path)
+            outs.append(path)
+            print("wrote", path)
     return outs
 
 

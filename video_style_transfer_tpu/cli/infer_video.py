@@ -15,24 +15,50 @@ import jax.numpy as jnp
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--pretrained_model_name_or_path", default=None)
-    p.add_argument("--motion_checkpoint", default=None,
+    p.add_argument("--motion_checkpoint", "--motion_adapter_path",
+                   dest="motion_checkpoint", default=None,
                    help="motion weights: a stage-2 motion_modules.pth / "
                         ".safetensors (or a directory containing one — "
                         "reference _find_pth semantics), or a diffusers "
                         "MotionAdapter safetensors file")
     p.add_argument("--unziplora_name_or_path", default=None)
     p.add_argument("--unziplora_name", default="unziplora")
-    p.add_argument("--prompt", required=True)
+    # explicit per-artifact paths, the reference's spelling
+    # (inference_animatediff.py:266-281)
+    p.add_argument("--unziplora_content_path", default=None)
+    p.add_argument("--unziplora_style_path", default=None)
+    p.add_argument("--unziplora_content_weight_path", default=None)
+    p.add_argument("--unziplora_style_weight_path", default=None)
+    p.add_argument("--prompt", default=None)
+    p.add_argument("--instance_prompt", default=None,
+                   help="reference spelling for --prompt ('both' mode)")
+    p.add_argument("--content_prompt", default=None,
+                   help="prompt for the content-only mode (defaults to "
+                        "--prompt; reference inference_animatediff.py"
+                        ":230-241)")
+    p.add_argument("--style_prompt", default=None,
+                   help="prompt for the style-only mode (defaults to "
+                        "--prompt)")
     from video_style_transfer_tpu.cli.common import DEFAULT_NEGATIVE_PROMPT
     p.add_argument("--negative_prompt", default=DEFAULT_NEGATIVE_PROMPT)
     p.add_argument("--modes", nargs="+",
                    default=["both", "content", "style"],
                    choices=["both", "content", "style", "base"])
-    p.add_argument("--output_dir", default="out/videos")
+    p.add_argument("--output_dir", "--save_dir", dest="output_dir",
+                   default="out/videos")
     p.add_argument("--num_frames", type=int, default=16)
     p.add_argument("--num_inference_steps", type=int, default=30)
     p.add_argument("--guidance_scale", type=float, default=7.5)
     p.add_argument("--resolution", type=int, default=1024)
+    p.add_argument("--height", type=int, default=None,
+                   help="defaults to --resolution (reference "
+                        "inference_animatediff.py:285-286 exposes "
+                        "height/width separately)")
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--mixed_precision", default="bf16",
+                   choices=["no", "bf16", "fp16"],
+                   help="UNet compute dtype; fp16 maps to bf16 (the TPU "
+                        "half type); the VAE decode is always fp32")
     p.add_argument("--fps", type=int, default=8)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--smoke", action="store_true")
@@ -41,6 +67,9 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    args.prompt = args.prompt or args.instance_prompt
+    if not args.prompt:
+        raise SystemExit("need --prompt (or --instance_prompt)")
     from video_style_transfer_tpu.cli import common
     from video_style_transfer_tpu.data.video_io import save_video
     from video_style_transfer_tpu.lora import interop
@@ -50,9 +79,15 @@ def main(argv=None):
         import_motion_state_dict, load_motion_checkpoint)
 
     os.makedirs(args.output_dir, exist_ok=True)
-    bundle = common.load_models(args.pretrained_model_name_or_path,
-                                smoke=args.smoke, motion=True)
+    bundle = common.load_models(
+        args.pretrained_model_name_or_path, smoke=args.smoke, motion=True,
+        dtype=jnp.float32 if args.mixed_precision == "no"
+        else jnp.bfloat16)
     res = args.resolution if not args.smoke else 16
+    height = args.height or res
+    width = args.width or res
+    if args.smoke:
+        height = width = res
     steps = args.num_inference_steps if not args.smoke else 2
     frames = args.num_frames if not args.smoke else 4
 
@@ -61,21 +96,28 @@ def main(argv=None):
         sd = load_motion_checkpoint(args.motion_checkpoint)
         params = import_motion_state_dict(params, sd)
 
-    if args.unziplora_name_or_path:
-        base = args.unziplora_name_or_path
+    explicit = args.unziplora_content_path and args.unziplora_style_path
+    if args.unziplora_name_or_path or explicit:
+        base = args.unziplora_name_or_path or ""
         name = args.unziplora_name
+
+        def _p(flag, default):
+            return flag if flag else os.path.join(base, default)
+
         params, state = interop.import_state_dicts(
             params,
             interop.load_safetensors(os.path.join(
-                base, f"{name}_content",
+                _p(args.unziplora_content_path, f"{name}_content"),
                 "pytorch_lora_weights.safetensors")),
             interop.load_safetensors(os.path.join(
-                base, f"{name}_style",
+                _p(args.unziplora_style_path, f"{name}_style"),
                 "pytorch_lora_weights.safetensors")),
-            interop.load_merger_pth(os.path.join(
-                base, f"{name}_merger_content.pth")),
-            interop.load_merger_pth(os.path.join(
-                base, f"{name}_merger_style.pth")))
+            interop.load_merger_pth(_p(
+                args.unziplora_content_weight_path,
+                f"{name}_merger_content.pth")),
+            interop.load_merger_pth(_p(
+                args.unziplora_style_weight_path,
+                f"{name}_merger_style.pth")))
     elif args.smoke:
         params, state = insert_unziplora(params, jax.random.PRNGKey(0),
                                          rank=4)
@@ -90,15 +132,22 @@ def main(argv=None):
         state = None
 
 
-    cond = common.make_conditioning(bundle, args.prompt, height=res,
-                                    width=res)
+    # per-mode prompts (reference inference_animatediff.py:224-247 runs
+    # both/content/style with their own prompts)
+    mode_prompts = {
+        "both": args.prompt, "base": args.prompt,
+        "content": args.content_prompt or args.prompt,
+        "style": args.style_prompt or args.prompt,
+    }
     uncond = common.negative_conditioning(bundle, args.negative_prompt,
-                                          height=res, width=res)
+                                          height=height, width=width)
 
     from video_style_transfer_tpu.lora.surgery import fold_unziplora
 
     outs = []
     for mode in args.modes:
+        cond = common.make_conditioning(bundle, mode_prompts[mode],
+                                        height=height, width=width)
         # video inference feeds ONE shared prompt (the reference's
         # AnimateDiff processor collapses the streams too), so the LoRA
         # folds fully into the base kernels — rank-64 dual-branch matmuls
@@ -111,9 +160,12 @@ def main(argv=None):
                                         fold_cross_kv=True)
         run = jax.jit(lambda p, u, c, key, m=mode: generate_video(
             p, bundle.unet_cfg, bundle.vae, bundle.vae_cfg, u, c,
-            key, num_frames=frames, height=res, width=res, num_steps=steps,
+            key, num_frames=frames, height=height, width=width,
+            num_steps=steps,
             cfg_scale=args.guidance_scale, mode=m, state=state,
-            dtype=jnp.float32 if args.smoke else jnp.bfloat16,
+            dtype=jnp.float32 if (args.smoke
+                                  or args.mixed_precision == "no")
+            else jnp.bfloat16,
             decode_chunk=1 if not args.smoke else frames,
             vae_scale_factor=bundle.vae_scale_factor))
         video = run(fparams, uncond, cond, jax.random.PRNGKey(args.seed))

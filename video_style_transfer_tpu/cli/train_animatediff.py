@@ -22,17 +22,52 @@ def build_parser():
     p.add_argument("--unziplora_name_or_path", default=None,
                    help="stage-1 artifact dir (content/style/merger)")
     p.add_argument("--unziplora_name", default="unziplora")
+    # explicit per-artifact paths, the reference's spelling
+    # (train_animatediff.py:374-389); override the dir+name convention
+    p.add_argument("--unziplora_content_path", default=None)
+    p.add_argument("--unziplora_style_path", default=None)
+    p.add_argument("--unziplora_content_weight_path", default=None)
+    p.add_argument("--unziplora_style_weight_path", default=None)
     p.add_argument("--video_dir", default=None)
-    p.add_argument("--prompt", required=True)
+    p.add_argument("--instance_data_dir", default=None,
+                   help="reference spelling for --video_dir")
+    p.add_argument("--prompt", default=None)
+    p.add_argument("--instance_prompt", default=None,
+                   help="reference spelling for --prompt")
     p.add_argument("--output_dir", default="out/animatediff")
     p.add_argument("--num_frames", type=int, default=8)
     p.add_argument("--resolution", type=int, default=1024)
     p.add_argument("--train_batch_size", type=int, default=1)
     p.add_argument("--max_train_steps", type=int, default=1000)
+    p.add_argument("--num_train_epochs", type=int, default=None,
+                   help="alternative to --max_train_steps (reference "
+                        "train_animatediff.py:175-182)")
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--learning_rate", type=float, default=2e-5)
+    p.add_argument("--lr_scheduler", default="cosine",
+                   choices=["constant", "constant_with_warmup", "linear",
+                            "cosine", "cosine_with_restarts",
+                            "polynomial"])
     p.add_argument("--lr_warmup_steps", type=int, default=100)
-    p.add_argument("--weight_decay", type=float, default=1e-2)
+    p.add_argument("--optimizer", default="adamw",
+                   choices=["adamw", "adamw8bit"],
+                   help="'adamw8bit' stores Adam moments as blockwise "
+                        "int8 (training/adam8bit.py) — the TPU analog of "
+                        "bitsandbytes, worthwhile with "
+                        "--train_full_motion")
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    p.add_argument("--weight_decay", "--adam_weight_decay",
+                   dest="weight_decay", type=float, default=1e-2)
     p.add_argument("--max_grad_norm", type=float, default=0.5)
+    p.add_argument("--enable_gradient_checkpointing", action="store_true",
+                   help="accepted for compat: rematerialization is "
+                        "always on for non-smoke runs (the 8f@1024 step "
+                        "does not fit 16 GB HBM without it)")
+    p.add_argument("--dataloader_num_workers", type=int, default=0,
+                   help="no-op: clips decode via the native C++ "
+                        "preprocessor and latents are moment-cached")
     p.add_argument("--temporal_lora_rank", type=int, default=32)
     p.add_argument("--temporal_lora_alpha", type=float, default=1.0)
     p.add_argument("--lambda_orth", type=float, default=1e-4)
@@ -49,9 +84,10 @@ def build_parser():
                         "stage-2 variant, unziplora_unet/"
                         "train_animatediff.py) instead of LoRA-only")
     p.add_argument("--mixed_precision", default="bf16",
-                   choices=["no", "bf16"],
+                   choices=["no", "bf16", "fp16"],
                    help="stage-2 reference default is bf16 "
-                        "(train_animatediff.sh:76)")
+                        "(train_animatediff.sh:76); fp16 maps to bf16 "
+                        "(the TPU half type)")
     p.add_argument("--motion_adapter_path", default=None,
                    help="initial motion weights: diffusers MotionAdapter "
                         "safetensors, a trained motion_modules.pth, or a "
@@ -73,6 +109,10 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    args.prompt = args.prompt or args.instance_prompt
+    if not args.prompt:
+        raise SystemExit("need --prompt (or --instance_prompt)")
+    args.video_dir = args.video_dir or args.instance_data_dir
     from video_style_transfer_tpu.cli import common
     from video_style_transfer_tpu.data.video import VideoClipDataset
     from video_style_transfer_tpu.lora import interop
@@ -92,17 +132,26 @@ def main(argv=None):
     f = args.num_frames if not args.smoke else 4
 
     # ---- stage-1 LoRA: load trained artifacts or random (smoke) --------
-    if args.unziplora_name_or_path:
-        base = args.unziplora_name_or_path
+    explicit = args.unziplora_content_path and args.unziplora_style_path
+    if args.unziplora_name_or_path or explicit:
+        base = args.unziplora_name_or_path or ""
         name = args.unziplora_name
+
+        def _p(flag, default):
+            return flag if flag else os.path.join(base, default)
+
+        cdir = _p(args.unziplora_content_path, f"{name}_content")
+        sdir = _p(args.unziplora_style_path, f"{name}_style")
         content_sd = interop.load_safetensors(os.path.join(
-            base, f"{name}_content", "pytorch_lora_weights.safetensors"))
+            cdir, "pytorch_lora_weights.safetensors"))
         style_sd = interop.load_safetensors(os.path.join(
-            base, f"{name}_style", "pytorch_lora_weights.safetensors"))
-        merger_c = interop.load_merger_pth(
-            os.path.join(base, f"{name}_merger_content.pth"))
-        merger_s = interop.load_merger_pth(
-            os.path.join(base, f"{name}_merger_style.pth"))
+            sdir, "pytorch_lora_weights.safetensors"))
+        merger_c = interop.load_merger_pth(_p(
+            args.unziplora_content_weight_path,
+            f"{name}_merger_content.pth"))
+        merger_s = interop.load_merger_pth(_p(
+            args.unziplora_style_weight_path,
+            f"{name}_merger_style.pth"))
         params, lora_state = interop.import_state_dicts(
             bundle.unet, content_sd, style_sd, merger_c, merger_s)
     else:
@@ -156,6 +205,14 @@ def main(argv=None):
     uemb, upooled = common.encode_prompt(bundle, "")
 
     # ---- trainer -------------------------------------------------------
+    accum = max(args.gradient_accumulation_steps, 1)
+    if args.num_train_epochs is not None:
+        # reference accounting (train_animatediff.py:175-182): one epoch
+        # = one pass over the clip-start index
+        n_items = len(ds) if ds is not None else 1
+        batches = max(-(-n_items // args.train_batch_size), 1)
+        args.max_train_steps = args.num_train_epochs * max(
+            -(-batches // accum), 1)
     max_steps = args.smoke_steps or args.max_train_steps
     mask = stage2.trainable_mask(params,
                                  train_mergers=args.unfreeze_mergers,
@@ -164,13 +221,17 @@ def main(argv=None):
                                 total_steps=max_steps,
                                 warmup=args.lr_warmup_steps,
                                 weight_decay=args.weight_decay,
-                                max_grad_norm=args.max_grad_norm)
+                                max_grad_norm=args.max_grad_norm,
+                                b1=args.adam_beta1, b2=args.adam_beta2,
+                                eps=args.adam_epsilon,
+                                schedule=args.lr_scheduler,
+                                optimizer=args.optimizer)
     sched = make_schedule()
     step_fn = jax.jit(stage2.make_train_step(
         bundle.unet_cfg, sched, opt, pairs, mask=mask,
         lambda_orth=args.lambda_orth,
         prediction_type=args.prediction_type, lora_state=lora_state,
-        remat=not args.smoke))
+        remat=not args.smoke, grad_accum=accum))
     state = stage2.init_state(params, opt)
 
     ckpt_dir = os.path.join(args.output_dir, "checkpoints")
@@ -193,21 +254,28 @@ def main(argv=None):
     last_log_step = start
     for step in range(start, max_steps):
         rng, key = jax.random.split(rng)
-        frames, frame_ids = sample_clip(args.seed * 1000 + step)
-        rng, enc_key = jax.random.split(rng)
-        if moment_cache is not None:
-            latents = moment_cache.latents(frames, frame_ids, enc_key)
-        else:
-            # chunked: a single 8-frame fp32 encode at 1024^2 is 18 GB
-            # of activations and OOMs the chip (benchmarks/vae_encode.py)
-            flat = frames.reshape(-1, res, res, 3)
-            latents = jnp.concatenate([
-                common.encode_latents(bundle, flat[k:k + 1],
-                                      key=jax.random.fold_in(enc_key, k))
-                for k in range(flat.shape[0])])
-        lh = latents.shape[1]
+        lat_micro = []
+        for mi in range(accum):
+            frames, frame_ids = sample_clip(
+                args.seed * 1000 + step * accum + mi)
+            rng, enc_key = jax.random.split(rng)
+            if moment_cache is not None:
+                latents = moment_cache.latents(frames, frame_ids, enc_key)
+            else:
+                # chunked: a single 8-frame fp32 encode at 1024^2 is
+                # 18 GB of activations and OOMs the chip
+                # (benchmarks/vae_encode.py)
+                flat = frames.reshape(-1, res, res, 3)
+                latents = jnp.concatenate([
+                    common.encode_latents(
+                        bundle, flat[k:k + 1],
+                        key=jax.random.fold_in(enc_key, k))
+                    for k in range(flat.shape[0])])
+            lh = latents.shape[1]
+            lat_micro.append(latents.reshape(b, f, lh, lh, 4))
         batch = {
-            "latents": latents.reshape(b, f, lh, lh, 4),
+            "latents": jnp.stack(lat_micro)
+            if accum > 1 else lat_micro[0],
             "ctx": jnp.repeat(emb, b, axis=0),
             "pooled": jnp.repeat(pooled, b, axis=0),
             "uncond_ctx": jnp.repeat(uemb, b, axis=0),
@@ -216,6 +284,11 @@ def main(argv=None):
                 jnp.asarray([[res, res, 0, 0, res, res]], jnp.float32),
                 (b, 1)),
         }
+        if accum > 1:
+            tile = lambda x: jnp.broadcast_to(x, (accum,) + x.shape)
+            for k in ("ctx", "pooled", "uncond_ctx", "uncond_pooled",
+                      "time_ids"):
+                batch[k] = tile(batch[k])
         state, metrics = step_fn(state, batch, key)
         if step % args.log_every == 0 or step == max_steps - 1:
             scalars = {k: float(v) for k, v in metrics.items()}

@@ -29,6 +29,10 @@ import jax
 import jax.numpy as jnp
 
 
+def _bool(s):
+    return str(s).lower() in ("1", "true", "yes", "y")
+
+
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--pretrained_model_name_or_path", default=None)
@@ -56,12 +60,45 @@ def build_parser():
     p.add_argument("--weight_learning_rate", type=float, default=5e-3)
     p.add_argument("--similarity_lambda", type=float, default=0.5)
     p.add_argument("--optimizer", default="adamw",
-                   choices=["adamw", "prodigy"],
-                   help="reference train_unziplora.py:1602-1671 "
-                        "(8-bit Adam is CUDA-only; no TPU analog needed)")
+                   choices=["adamw", "adamw8bit", "prodigy"],
+                   help="reference train_unziplora.py:1602-1671; "
+                        "'adamw8bit' is the TPU-native re-derivation of "
+                        "bitsandbytes' blockwise 8-bit moments "
+                        "(training/adam8bit.py)")
+    p.add_argument("--use_8bit_adam", action="store_true",
+                   help="reference spelling for --optimizer adamw8bit "
+                        "(train_unziplora.py:581-586)")
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_weight_decay", type=float, default=1e-4)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    p.add_argument("--prodigy_beta3", type=float, default=None,
+                   help="None: use sqrt(beta2) (optax matches the "
+                        "prodigy package here)")
+    p.add_argument("--prodigy_decouple", type=_bool, default=True,
+                   help="accepted for compatibility; optax prodigy is "
+                        "decoupled by construction")
+    p.add_argument("--prodigy_use_bias_correction", type=_bool,
+                   default=True,
+                   help="accepted for compatibility; optax prodigy is "
+                        "bias-corrected by construction")
+    p.add_argument("--prodigy_safeguard_warmup", type=_bool, default=True)
     p.add_argument("--lr_scheduler", default="constant",
-                   choices=["constant", "cosine"])
+                   choices=["constant", "constant_with_warmup", "linear",
+                            "cosine", "cosine_with_restarts",
+                            "polynomial"],
+                   help="diffusers get_scheduler names "
+                        "(training/schedules.py parity-tests the exact "
+                        "formulas)")
     p.add_argument("--lr_warmup_steps", type=int, default=0)
+    p.add_argument("--lr_num_cycles", type=int, default=1,
+                   help="hard restarts (cosine_with_restarts only)")
+    p.add_argument("--lr_power", type=float, default=1.0,
+                   help="polynomial decay power")
+    p.add_argument("--scale_lr", action="store_true",
+                   help="multiply LRs by accum * batch * num_processes "
+                        "(reference train_unziplora.py:1525-1543)")
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--checkpointing_steps", type=int, default=500)
     p.add_argument("--checkpoints_total_limit", type=int, default=None)
@@ -102,6 +139,13 @@ def build_parser():
     p.add_argument("--validation_prompt", default=None)
     p.add_argument("--validation_prompt_content", default=None)
     p.add_argument("--validation_prompt_style", default=None)
+    p.add_argument("--validation_content", default=None,
+                   help="reference gate: validation runs when both "
+                        "--validation_content and --validation_style are "
+                        "set (train_unziplora.py:2263-2265); when "
+                        "--validation_prompt is unset it becomes "
+                        "'{content} {style}' (:2518)")
+    p.add_argument("--validation_style", default=None)
     p.add_argument("--validation_epochs", type=int, default=200,
                    help="generate both/content/style validation images "
                         "every N steps (reference "
@@ -109,10 +153,11 @@ def build_parser():
     p.add_argument("--validation_steps", type=int, default=8,
                    help="denoise steps for validation images")
     p.add_argument("--mixed_precision", default="bf16",
-                   choices=["no", "bf16"],
+                   choices=["no", "bf16", "fp16"],
                    help="'no' = fp32 base weights (the reference recipe, "
                         "train.sh:65); 'bf16' (default) = bf16 base + "
-                        "fp32 LoRA branches — the TPU-native mix")
+                        "fp32 LoRA branches — the TPU-native mix; fp16 "
+                        "maps to bf16 (the TPU half type)")
     p.add_argument("--report_to", default="jsonl",
                    choices=["jsonl", "tensorboard", "wandb"])
     p.add_argument("--smoke", action="store_true",
@@ -122,6 +167,73 @@ def build_parser():
                    help="after export, reload the artifacts into a fresh "
                         "UNet and generate once (the reference's final "
                         "integration smoke, train_unziplora.py:2428-2509)")
+    # ---- dataset / conditioning parity --------------------------------
+    p.add_argument("--pretrained_vae_model_name_or_path", default=None,
+                   help="separate VAE checkpoint (the reference loads "
+                        "madebyollin/sdxl-vae-fp16-fix here, "
+                        "train_unziplora.py:1252-1261)")
+    p.add_argument("--center_crop", action="store_true", default=False,
+                   help="center-crop instead of random-crop when the "
+                        "source aspect != 1 (reference DreamBoothDataset "
+                        "transforms, train_unziplora.py:976-983)")
+    p.add_argument("--crops_coords_top_left_h", type=int, default=0)
+    p.add_argument("--crops_coords_top_left_w", type=int, default=0,
+                   help="SDXL micro-conditioning crop coords fed into "
+                        "time_ids (reference compute_time_ids, "
+                        "train_unziplora.py:1703-1714)")
+    p.add_argument("--num_train_epochs", type=int, default=None,
+                   help="alternative to --max_train_steps: steps = "
+                        "epochs * ceil(num_images / batch) (reference "
+                        "train_unziplora.py:1875-1882)")
+    p.add_argument("--repeats", type=int, default=1,
+                   help="dataset repeat factor (affects steps/epoch "
+                        "accounting only here — sampling is uniform)")
+    # ---- validation behavior parity ------------------------------------
+    p.add_argument("--num_validation_images", type=int, default=1,
+                   help="images per mode at each validation "
+                        "(reference :455-461)")
+    p.add_argument("--with_image_per_validation", action="store_true",
+                   default=True,
+                   help="generate validation images when "
+                        "--validation_prompt is set (reference gate, "
+                        "train_unziplora.py:2267)")
+    p.add_argument("--with_saved_per_validation", action="store_true",
+                   help="also export the stage-1 artifacts at every "
+                        "validation boundary (reference :2341-2345)")
+    p.add_argument("--with_grad_record", action="store_true",
+                   help="dump per-layer LoRA weight+cone records at "
+                        "column-selection steps for the offline cone CLI "
+                        "(reference :2245-2251, record_utils/cone.py)")
+    # ---- accepted-for-compat flags (documented no-ops / dead paths) ----
+    p.add_argument("--train_text_encoder", action="store_true",
+                   help="DEAD in the reference too: its injection path "
+                        "raises NotImplementedError "
+                        "(train_unziplora.py:1424-1425); we mirror that")
+    p.add_argument("--with_accumulate_cone", action="store_true",
+                   help="accepted for compat; the reference's cone "
+                        "accumulator is overwritten before use "
+                        "(unziplora_linear_layer.py:144-146) — see "
+                        "training/stage1.py ColumnSepConfig note")
+    p.add_argument("--with_one_shot", action="store_true",
+                   help="accepted for compat; unused in the reference "
+                        "dataset (train_unziplora.py:886)")
+    p.add_argument("--enable_xformers_memory_efficient_attention",
+                   action="store_true",
+                   help="no-op: Pallas flash attention is the default "
+                        "here (ops/flash_attention.py)")
+    p.add_argument("--allow_tf32", action="store_true",
+                   help="no-op: TPU matmuls are bf16/f32 by dtype, not "
+                        "a global toggle")
+    p.add_argument("--dataloader_num_workers", type=int, default=0,
+                   help="no-op: data is preprocessed once and stays "
+                        "on-device")
+    p.add_argument("--local_rank", type=int, default=-1,
+                   help="no-op: process identity comes from "
+                        "jax.distributed (parallel/distributed.py)")
+    p.add_argument("--prior_generation_precision", default=None,
+                   choices=[None, "no", "fp32", "fp16", "bf16"],
+                   help="class-image generation dtype; fp16 maps to "
+                        "bf16 on TPU")
     return p
 
 
@@ -157,19 +269,25 @@ def _run_validation(args, bundle, state, res, step, logger=None):
                                         height=res, width=res)
         # jit the whole generation: generate_images' contract (one scan
         # program); eager dispatch would pay per-op overhead x num_steps
+        # the reference swaps in DPM-Solver++ for validation sampling
+        # (train_unziplora.py:2303-2305)
         run = _jax.jit(functools.partial(
             generate_images, unet_cfg=bundle.unet_cfg,
             vae_params=bundle.vae, vae_cfg=bundle.vae_cfg,
             height=res, width=res, num_steps=args.validation_steps,
-            mode=mode,
+            mode=mode, sampler="dpm",
             dtype=jnp.float32 if args.smoke else jnp.bfloat16,
             vae_scale_factor=bundle.vae_scale_factor))
-        imgs = run(state.params, uncond=uncond, cond=cond,
-                   key=_jax.random.PRNGKey(0), state=state.lora_state)
-        img = jax.device_get(imgs[0])
-        save_image(img, os.path.join(val_dir, f"step{step}_{mode}.png"))
-        if logger is not None:
-            logger.log_images(step, {f"validation/{mode}": img})
+        for i in range(max(args.num_validation_images, 1)):
+            imgs = run(state.params, uncond=uncond, cond=cond,
+                       key=_jax.random.PRNGKey(i), state=state.lora_state)
+            img = jax.device_get(imgs[0])
+            suffix = f"_{i}" if args.num_validation_images > 1 else ""
+            save_image(img, os.path.join(
+                val_dir, f"step{step}_{mode}{suffix}.png"))
+            if logger is not None:
+                logger.log_images(step,
+                                  {f"validation/{mode}{suffix}": img})
 
 
 def _ensure_class_images(args, bundle, class_data_dir, class_prompt, res):
@@ -203,12 +321,16 @@ def _ensure_class_images(args, bundle, class_data_dir, class_prompt, res):
                                      pooled=tile(c.pooled),
                                      time_ids=tile(c.time_ids))
                         for c in (uncond, cond))
+    # --prior_generation_precision: fp16 maps to bf16 (the TPU half type)
+    prec = args.prior_generation_precision
+    pdtype = (jnp.float32 if (args.smoke or prec in ("no", "fp32"))
+              else jnp.bfloat16)
     run = jax.jit(functools.partial(
         generate_images, unet_cfg=bundle.unet_cfg,
         vae_params=bundle.vae, vae_cfg=bundle.vae_cfg,
         height=res, width=res, batch=bsz,
         num_steps=args.prior_generation_steps, mode="base",
-        dtype=jnp.float32 if args.smoke else jnp.bfloat16,
+        dtype=pdtype,
         vae_scale_factor=bundle.vae_scale_factor))
     made = 0
     while made < num_new:
@@ -224,6 +346,24 @@ def _ensure_class_images(args, bundle, class_data_dir, class_prompt, res):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.train_text_encoder:
+        # the reference's own injection path raises too
+        # (train_unziplora.py:1424-1425) — text-encoder LoRA is not part
+        # of the published method
+        raise NotImplementedError(
+            "--train_text_encoder is not implemented (the reference "
+            "raises NotImplementedError here as well)")
+    if args.use_8bit_adam:
+        args.optimizer = "adamw8bit"
+    if not args.prodigy_decouple or not args.prodigy_use_bias_correction:
+        print("warning: optax prodigy is always decoupled and "
+              "bias-corrected; --prodigy_decouple/"
+              "--prodigy_use_bias_correction False are ignored")
+    if (args.validation_prompt is None and args.validation_content
+            and args.validation_style):
+        # reference composes the prompt from the two halves (:2518)
+        args.validation_prompt = (f"{args.validation_content} "
+                                  f"{args.validation_style}")
     from video_style_transfer_tpu.cli import common
     from video_style_transfer_tpu.data.video import (
         extract_frames, load_image_dir)
@@ -238,8 +378,12 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
     bundle = common.load_models(
         args.pretrained_model_name_or_path, smoke=args.smoke, motion=False,
-        dtype=jnp.float32 if args.mixed_precision == "no" else jnp.bfloat16)
+        dtype=jnp.float32 if args.mixed_precision == "no" else jnp.bfloat16,
+        vae_path=args.pretrained_vae_model_name_or_path)
     res = args.resolution if not args.smoke else 16
+    crop = "center" if args.center_crop else "random"
+    time_ids_row = [res, res, args.crops_coords_top_left_h,
+                    args.crops_coords_top_left_w, res, res]
 
     # ---- data: N frames from one video (or an image dir) --------------
     if args.smoke:
@@ -257,7 +401,8 @@ def main(argv=None):
                                     args.num_instance_frames,
                                     resolution=res)
     elif args.instance_data_dir:
-        images = load_image_dir(args.instance_data_dir, res)
+        images = load_image_dir(args.instance_data_dir, res, crop=crop,
+                                seed=args.seed)
     else:
         raise SystemExit("need --instance_video or --instance_data_dir")
 
@@ -289,7 +434,7 @@ def main(argv=None):
             ("style", args.class_data_dir_2, args.class_prompt_2)):
         if not ddir:
             continue
-        cls_imgs = load_image_dir(ddir, res)
+        cls_imgs = load_image_dir(ddir, res, crop=crop, seed=args.seed)
         if args.with_prior_preservation:
             # the dataset caps usage at --num_class_images
             # (train_unziplora.py:956-961)
@@ -299,8 +444,7 @@ def main(argv=None):
         priors[branch] = {
             "moments": common.encode_latent_moments(bundle, cls_imgs),
             "ctx": cls_emb, "pooled": cls_pooled,
-            "time_ids": jnp.asarray([[res, res, 0, 0, res, res]],
-                                    jnp.float32),
+            "time_ids": jnp.asarray([time_ids_row], jnp.float32),
         }
 
     emb, pooled = common.encode_prompt(bundle, args.instance_prompt)
@@ -317,11 +461,28 @@ def main(argv=None):
         params, mask_c, mask_s,
         layers_per_block=bundle.unet_cfg.layers_per_block)
 
+    accum = max(args.gradient_accumulation_steps, 1)
+    # reference accounting (train_unziplora.py:1875-1882):
+    # num_update_steps_per_epoch = ceil(len(dataloader) / accum), with
+    # the dataset repeated --repeats times
+    n_items = len(images) * max(args.repeats, 1)
+    batches_per_epoch = max(-(-n_items // args.train_batch_size), 1)
+    updates_per_epoch = max(-(-batches_per_epoch // accum), 1)
+    if args.num_train_epochs is not None:
+        args.max_train_steps = args.num_train_epochs * updates_per_epoch
     max_steps = args.smoke_steps or args.max_train_steps
+
+    if args.scale_lr:
+        # reference train_unziplora.py:1525-1543
+        scale = accum * args.train_batch_size * jax.process_count()
+        args.content_learning_rate *= scale
+        args.style_learning_rate *= scale
+        args.weight_learning_rate *= scale
+
     sep = stage1.ColumnSepConfig(
         enabled=args.with_period_column_separation,
         max_steps=max_steps, sample_times=args.sample_times,
-        steps_per_epoch=max(len(images) // args.train_batch_size, 1),
+        steps_per_epoch=updates_per_epoch,
         column_ratio=args.column_ratio, avoid=args.with_no_overlap_first,
         finetune_mask=args.with_finetune_mask)
 
@@ -329,9 +490,13 @@ def main(argv=None):
         params, lr_content=args.content_learning_rate,
         lr_style=args.style_learning_rate,
         lr_merger=args.weight_learning_rate,
+        weight_decay=args.adam_weight_decay, b1=args.adam_beta1,
+        b2=args.adam_beta2, eps=args.adam_epsilon,
         max_grad_norm=args.max_grad_norm, total_steps=max_steps,
         warmup=args.lr_warmup_steps, schedule=args.lr_scheduler,
-        optimizer=args.optimizer)
+        num_cycles=args.lr_num_cycles, power=args.lr_power,
+        optimizer=args.optimizer, prodigy_beta3=args.prodigy_beta3,
+        prodigy_safeguard_warmup=args.prodigy_safeguard_warmup)
 
     sched = make_schedule()
     step_fn = jax.jit(stage1.make_train_step(
@@ -339,7 +504,8 @@ def main(argv=None):
         mask=stage1.trainable_mask(params),
         similarity_lambda=args.similarity_lambda,
         prior_weight=args.prior_loss_weight,
-        prior_weight_2=args.prior_loss_weight_2, remat=not args.smoke))
+        prior_weight_2=args.prior_loss_weight_2, remat=not args.smoke,
+        grad_accum=accum))
 
     state = stage1.init_state(params, lora_state, opt)
 
@@ -356,7 +522,10 @@ def main(argv=None):
                            use_tensorboard=args.report_to == "tensorboard",
                            use_wandb=args.report_to == "wandb")
     timer = StepTimer()
-    b = args.train_batch_size
+    # with accumulation, one optimizer step consumes accum micro-batches
+    # of --train_batch_size rows each; leaves are built flat then
+    # reshaped to a leading (accum,) axis the scanned step consumes
+    b = args.train_batch_size * accum
 
     n = moments[0].shape[0]
     start = int(state.step)
@@ -376,8 +545,7 @@ def main(argv=None):
             "ctx_style": jnp.repeat(emb_s, b, axis=0),
             "pooled": jnp.repeat(pooled, b, axis=0),
             "time_ids": jnp.tile(
-                jnp.asarray([[res, res, 0, 0, res, res]], jnp.float32),
-                (b, 1)),
+                jnp.asarray([time_ids_row], jnp.float32), (b, 1)),
         }
         for bi, (branch, prior) in enumerate(priors.items()):
             pn = prior["moments"][0].shape[0]
@@ -394,6 +562,10 @@ def main(argv=None):
                 "pooled": jnp.repeat(prior["pooled"], b, axis=0),
                 "time_ids": jnp.tile(prior["time_ids"], (b, 1)),
             }
+        if accum > 1:
+            batch = jax.tree.map(
+                lambda x: x.reshape((accum, args.train_batch_size)
+                                    + x.shape[1:]), batch)
         state, metrics = step_fn(state, batch, key)
         if step % 10 == 0 or step == max_steps - 1:
             scalars = {k: float(v) for k, v in metrics.items()}
@@ -414,8 +586,39 @@ def main(argv=None):
                                  total_limit=args.checkpoints_total_limit)
         if (args.validation_prompt
                 and (step + 1) % args.validation_epochs == 0):
-            _run_validation(args, bundle, state, res, step + 1,
-                            logger=logger)
+            if args.with_image_per_validation:
+                _run_validation(args, bundle, state, res, step + 1,
+                                logger=logger)
+            if args.with_saved_per_validation:
+                # export reference-format artifacts at the validation
+                # boundary too (reference train_unziplora.py:2341-2345)
+                vdir = os.path.join(args.output_dir,
+                                    f"validation_save_step{step + 1}")
+                os.makedirs(vdir, exist_ok=True)
+                ckpt.export_stage1_artifacts(vdir, args.name,
+                                             state.params,
+                                             state.lora_state)
+        if args.with_grad_record and sep.enabled:
+            # at each column-selection step the schedule just refreshed
+            # the cone scores in lora_state — dump them for the offline
+            # cone CLI (reference grad records, train_unziplora.py:2245)
+            sel = (step >= sep.steps_per_epoch
+                   and (step - sep.steps_per_epoch) % sep.sampled_steps
+                   == 0 and step < sep.sample_times * sep.sampled_steps)
+            if sel:
+                rec_dir = os.path.join(args.output_dir, "grad_records")
+                os.makedirs(rec_dir, exist_ok=True)
+                rec = {}
+                from video_style_transfer_tpu.lora.surgery import tree_get
+                for path in assignments:
+                    st = tree_get(state.lora_state, path)
+                    name = ".".join(str(x) for x in path)
+                    rec[f"{name}.score_content"] = np.asarray(
+                        st["score_content"])
+                    rec[f"{name}.score_style"] = np.asarray(
+                        st["score_style"])
+                np.savez(os.path.join(rec_dir, f"step{step + 1}.npz"),
+                         **rec)
 
     # ---- final artifacts (reference format) ---------------------------
     paths = ckpt.export_stage1_artifacts(args.output_dir, args.name,

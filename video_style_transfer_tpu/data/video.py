@@ -217,18 +217,47 @@ def extract_first_frames(video_path: str, num_frames: int,
     return _normalize(frames)
 
 
-def load_image_dir(root: str, resolution: int) -> np.ndarray:
+def load_image_dir(root: str, resolution: int, *, crop: str = "squish",
+                   seed: int = 0) -> np.ndarray:
     """All images under root -> (N, res, res, 3) float32 in [-1, 1]
-    (stage-1 DreamBooth instance/class data when given as images)."""
+    (stage-1 DreamBooth instance/class data when given as images).
+
+    crop: how non-square sources reach res x res —
+      'squish' resizes both axes (aspect distortion; legacy behavior);
+      'center'/'random' resize the SHORTER side to res then crop, the
+      reference's transforms.Resize + {Center,Random}Crop
+      (train_unziplora.py:976-983). The random offset is drawn once per
+      image at load (the reference redraws per epoch; latents here are
+      posterior-moment-cached per image, so one draw per image is the
+      cache-compatible equivalent — per-image variation comes from the
+      per-step posterior sample instead)."""
     from PIL import Image
     exts = (".png", ".jpg", ".jpeg", ".webp", ".bmp")
     paths = [os.path.join(root, f) for f in sorted(os.listdir(root))
              if f.lower().endswith(exts)]
     if not paths:
         raise FileNotFoundError(f"no images under {root}")
+    rng = np.random.default_rng(seed)
     out = []
     for p in paths:
-        img = Image.open(p).convert("RGB").resize(
-            (resolution, resolution), Image.LANCZOS)
+        img = Image.open(p).convert("RGB")
+        if crop == "squish":
+            img = img.resize((resolution, resolution), Image.LANCZOS)
+        else:
+            w, h = img.size
+            scale = resolution / min(w, h)
+            nw, nh = max(round(w * scale), resolution), \
+                max(round(h * scale), resolution)
+            img = img.resize((nw, nh), Image.LANCZOS)
+            if crop == "center":
+                left = (nw - resolution) // 2
+                top = (nh - resolution) // 2
+            elif crop == "random":
+                left = int(rng.integers(0, nw - resolution + 1))
+                top = int(rng.integers(0, nh - resolution + 1))
+            else:
+                raise ValueError(f"unknown crop mode {crop!r}")
+            img = img.crop((left, top, left + resolution,
+                            top + resolution))
         out.append(np.asarray(img))
     return _normalize(out)

@@ -100,24 +100,45 @@ def make_optimizer(params, *, lr_content: float = 5e-5,
                    b2: float = 0.999, eps: float = 1e-8,
                    max_grad_norm: float = 1.0,
                    total_steps: int = 600, warmup: int = 0,
-                   schedule: str = "constant",
-                   optimizer: str = "adamw"):
-    """optimizer: 'adamw' or 'prodigy' (the reference offers AdamW /
-    8-bit Adam / Prodigy, train_unziplora.py:1615-1671; 8-bit Adam is a
-    CUDA-memory trick with no TPU analog needed — LoRA states are tiny)."""
+                   schedule: str = "constant", num_cycles: int = 1,
+                   power: float = 1.0,
+                   optimizer: str = "adamw",
+                   prodigy_beta3: Optional[float] = None,
+                   prodigy_safeguard_warmup: bool = True):
+    """optimizer: 'adamw', 'adamw8bit' or 'prodigy' (the reference offers
+    AdamW / bitsandbytes 8-bit Adam / Prodigy,
+    train_unziplora.py:1615-1671). 'adamw8bit' is the TPU-native
+    re-derivation of bnb's blockwise-quantized moments
+    (training/adam8bit.py). optax's prodigy is decoupled and
+    bias-corrected by construction (the reference's --prodigy_decouple /
+    --prodigy_use_bias_correction default-True switches).
+
+    schedule/num_cycles/power follow diffusers get_scheduler semantics
+    (training/schedules.py)."""
+    from video_style_transfer_tpu.training.schedules import make_lr_schedule
+
     def lr_sched(lr):
-        if schedule == "constant":
-            return lr
-        if schedule == "cosine":
-            return optax.warmup_cosine_decay_schedule(
-                0.0, lr, warmup, max(total_steps, warmup + 1))
-        raise ValueError(schedule)
+        return make_lr_schedule(schedule, lr, warmup=warmup,
+                                total_steps=total_steps,
+                                num_cycles=num_cycles, power=power)
 
     def group(lr):
         if optimizer == "prodigy":
-            return optax.contrib.prodigy(learning_rate=1.0,
-                                         betas=(b1, b2),
-                                         weight_decay=weight_decay)
+            # prodigy adapts the step size itself; the schedule applies
+            # multiplicatively on top (reference passes the optimizer to
+            # get_scheduler the same way)
+            return optax.contrib.prodigy(
+                learning_rate=lr_sched(1.0) if schedule != "constant"
+                else 1.0,
+                betas=(b1, b2), beta3=prodigy_beta3, eps=eps,
+                weight_decay=weight_decay,
+                safeguard_warmup=prodigy_safeguard_warmup)
+        if optimizer == "adamw8bit":
+            from video_style_transfer_tpu.training.adam8bit import adamw8bit
+            return adamw8bit(lr_sched(lr), b1=b1, b2=b2, eps=eps,
+                             weight_decay=weight_decay)
+        if optimizer != "adamw":
+            raise ValueError(f"unknown optimizer {optimizer!r}")
         return optax.adamw(lr_sched(lr), b1=b1, b2=b2, eps=eps,
                            weight_decay=weight_decay)
 
@@ -366,45 +387,74 @@ def make_train_step(unet_cfg: UNetConfig, sched, optimizer, *,
                     sep_cfg: ColumnSepConfig, assignments: Dict,
                     similarity_lambda: float = 0.5,
                     prior_weight: float = 0.0, prior_weight_2: float = 0.0,
-                    impl: str = "auto", remat: bool = True, mask=None):
+                    impl: str = "auto", remat: bool = True, mask=None,
+                    grad_accum: int = 1):
     """When ``mask`` (trainable_mask) is given, the backward runs
     w.r.t. the LoRA leaves only: frozen leaves are stop-gradiented so
     the full-SDXL frozen-gradient tree (~5.2 GB bf16, ~10.4 GB for the
     reference's fp32 stage-1 recipe) never materializes. Frozen grads
     re-enter the optimizer as symbolic zeros, which set_to_zero ignores
-    and XLA folds."""
+    and XLA folds.
+
+    grad_accum > 1 (--gradient_accumulation_steps): every batch leaf
+    carries a leading (A,) micro-batch axis; a lax.scan runs the
+    forward/backward per micro-batch and averages losses and gradients
+    — matching Accelerate's accumulate() (loss / A per micro step,
+    grads summed into .grad, one optimizer step at the boundary;
+    reference train_unziplora.py:2010,2134). The scan carry holds only
+    the TRAINABLE gradient leaves, so the frozen tree still never
+    materializes. The cone machine consumes the accumulated grads, as
+    the reference's does (it reads .grad after the last micro-step)."""
     def step_fn(state: Stage1State, batch, key):
         paths = list(assignments.keys())
 
-        def _loss(p):
+        def _loss(p, b, k):
             return stage1_loss(
-                p, unet_cfg, sched, batch, key,
+                p, unet_cfg, sched, b, k,
                 lora_state=state.lora_state, lora_paths=paths,
                 orth_on=state.orth_on,
                 similarity_lambda=similarity_lambda,
                 prior_weight=prior_weight, prior_weight_2=prior_weight_2,
                 impl=impl, remat=remat)
 
+        leaves, treedef = jax.tree_util.tree_flatten(state.params)
         if mask is None:
-            (loss, aux), grads = jax.value_and_grad(
-                _loss, has_aux=True)(state.params)
+            mleaves = [True] * len(leaves)
         else:
-            leaves, treedef = jax.tree_util.tree_flatten(state.params)
             mleaves = jax.tree_util.tree_leaves(mask)
-            train_leaves = [l for l, m in zip(leaves, mleaves) if m]
+        train_leaves = [l for l, m in zip(leaves, mleaves) if m]
 
+        def grads_of(b, k):
+            """((loss, aux), trainable-grads-list) for one micro-batch."""
             def loss_fn(train_list):
                 it = iter(train_list)
                 full = [next(it) if m else jax.lax.stop_gradient(l)
                         for l, m in zip(leaves, mleaves)]
-                return _loss(jax.tree_util.tree_unflatten(treedef, full))
+                return _loss(jax.tree_util.tree_unflatten(treedef, full),
+                             b, k)
+            return jax.value_and_grad(loss_fn, has_aux=True)(train_leaves)
 
-            (loss, aux), gtrain = jax.value_and_grad(
-                loss_fn, has_aux=True)(train_leaves)
-            it = iter(gtrain)
-            gfull = [next(it) if m else jnp.zeros_like(l)
-                     for l, m in zip(leaves, mleaves)]
-            grads = jax.tree_util.tree_unflatten(treedef, gfull)
+        if grad_accum <= 1:
+            (loss, aux), gtrain = grads_of(batch, key)
+        else:
+            keys = jax.random.split(key, grad_accum)
+
+            def body(cg, xs):
+                mb, mk = xs
+                (l, a), g = grads_of(mb, mk)
+                return [x + y for x, y in zip(cg, g)], (l, a)
+
+            gsum, (losses, auxs) = jax.lax.scan(
+                body, [jnp.zeros_like(l) for l in train_leaves],
+                (batch, keys))
+            loss = jnp.mean(losses)
+            aux = jax.tree.map(lambda x: jnp.mean(x, axis=0), auxs)
+            gtrain = [g / grad_accum for g in gsum]
+
+        it = iter(gtrain)
+        gfull = [next(it) if m else jnp.zeros_like(l)
+                 for l, m in zip(leaves, mleaves)]
+        grads = jax.tree_util.tree_unflatten(treedef, gfull)
 
         if sep_cfg.enabled:
             new_lora_state, gates, ph = column_sep_update(

@@ -76,19 +76,36 @@ def trainable_mask(params, *, train_mergers: bool = False,
 
 def make_optimizer(mask, *, lr: float = 2e-5, total_steps: int = 1000,
                    warmup: int = 100, weight_decay: float = 1e-2,
-                   max_grad_norm: float = 0.5):
+                   max_grad_norm: float = 0.5, b1: float = 0.9,
+                   b2: float = 0.999, eps: float = 1e-8,
+                   schedule: str = "cosine", num_cycles: int = 1,
+                   power: float = 1.0, optimizer: str = "adamw"):
     """AdamW + cosine decay with warmup + clip 0.5 (reference
-    train_animatediff.sh:36,40-41; clip train_animatediff.py:316).
+    train_animatediff.sh:36,40-41; clip train_animatediff.py:316;
+    betas/eps flags train_animatediff.py:404-414). schedule names follow
+    diffusers get_scheduler (training/schedules.py); 'adamw8bit' is the
+    TPU-native --use_8bit_adam analog (training/adam8bit.py).
 
     Freezing uses multi_transform + set_to_zero like stage 1 — NOT
     optax.masked, which passes un-masked leaves' updates through
     UNCHANGED, i.e. frozen params would drift by their raw gradients
     (verified empirically on this optax)."""
-    sched = optax.warmup_cosine_decay_schedule(
-        0.0, lr, warmup, max(total_steps, warmup + 1))
+    from video_style_transfer_tpu.training.schedules import make_lr_schedule
+    sched = make_lr_schedule(schedule, lr, warmup=warmup,
+                             total_steps=total_steps,
+                             num_cycles=num_cycles, power=power)
+    if optimizer == "adamw8bit":
+        from video_style_transfer_tpu.training.adam8bit import adamw8bit
+        inner = adamw8bit(sched, b1=b1, b2=b2, eps=eps,
+                          weight_decay=weight_decay)
+    elif optimizer == "adamw":
+        inner = optax.adamw(sched, b1=b1, b2=b2, eps=eps,
+                            weight_decay=weight_decay)
+    else:
+        raise ValueError(f"unknown optimizer {optimizer!r}")
     tx = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
-        optax.adamw(sched, weight_decay=weight_decay),
+        inner,
     )
     labels = jax.tree.map(lambda m: "train" if m else "frozen", mask)
     return optax.multi_transform(
@@ -164,7 +181,7 @@ def make_train_step(unet_cfg: UNetConfig, sched, optimizer, pairs, *,
                     lambda_orth: float = 1e-4,
                     prediction_type: str = "epsilon", mode: str = "both",
                     lora_state=None, impl: str = "auto", remat=True,
-                    mask=None):
+                    mask=None, grad_accum: int = 1):
     """Returns step(state, batch, key) -> (state, metrics). jit outside
     (optionally under a mesh with batch rows sharded).
 
@@ -191,37 +208,52 @@ def make_train_step(unet_cfg: UNetConfig, sched, optimizer, pairs, *,
     def step(state: Stage2State, batch, key):
         params = state.params
 
+        leaves, treedef = jax.tree_util.tree_flatten(params)
         if mask is None:
-            (loss, aux), grads = jax.value_and_grad(
-                stage2_loss, has_aux=True)(
-                    params, unet_cfg, sched, batch, key, pairs=pairs,
-                    lambda_orth=lambda_orth,
-                    prediction_type=prediction_type,
-                    mode=mode, state=lora_state, impl=impl, remat=remat)
+            mleaves = [True] * len(leaves)
         else:
-            leaves, treedef = jax.tree_util.tree_flatten(params)
             mleaves = jax.tree_util.tree_leaves(mask)
-            train_leaves = [l for l, m in zip(leaves, mleaves) if m]
+        train_leaves = [l for l, m in zip(leaves, mleaves) if m]
 
+        def grads_of(b, k):
             def loss_fn(train_list):
                 it = iter(train_list)
                 full = [next(it) if m else jax.lax.stop_gradient(l)
                         for l, m in zip(leaves, mleaves)]
                 p = jax.tree_util.tree_unflatten(treedef, full)
                 return stage2_loss(
-                    p, unet_cfg, sched, batch, key, pairs=pairs,
+                    p, unet_cfg, sched, b, k, pairs=pairs,
                     lambda_orth=lambda_orth,
                     prediction_type=prediction_type,
                     mode=mode, state=lora_state, impl=impl, remat=remat)
+            return jax.value_and_grad(loss_fn, has_aux=True)(train_leaves)
 
-            (loss, aux), gtrain = jax.value_and_grad(
-                loss_fn, has_aux=True)(train_leaves)
-            it = iter(gtrain)
-            # frozen grads are symbolic zeros: set_to_zero never reads
-            # them and x+0 folds, so no 5.9 GB tree materializes
-            gfull = [next(it) if m else jnp.zeros_like(l)
-                     for l, m in zip(leaves, mleaves)]
-            grads = jax.tree_util.tree_unflatten(treedef, gfull)
+        if grad_accum <= 1:
+            (loss, aux), gtrain = grads_of(batch, key)
+        else:
+            # --gradient_accumulation_steps: batch leaves carry a
+            # leading (A,) micro-batch axis; scan accumulates ONLY the
+            # trainable grad leaves (the frozen tree never exists)
+            keys = jax.random.split(key, grad_accum)
+
+            def body(cg, xs):
+                mb, mk = xs
+                (l, a), g = grads_of(mb, mk)
+                return [x + y for x, y in zip(cg, g)], (l, a)
+
+            gsum, (losses, auxs) = jax.lax.scan(
+                body, [jnp.zeros_like(l) for l in train_leaves],
+                (batch, keys))
+            loss = jnp.mean(losses)
+            aux = jax.tree.map(lambda x: jnp.mean(x, axis=0), auxs)
+            gtrain = [g / grad_accum for g in gsum]
+
+        it = iter(gtrain)
+        # frozen grads are symbolic zeros: set_to_zero never reads
+        # them and x+0 folds, so no 5.9 GB tree materializes
+        gfull = [next(it) if m else jnp.zeros_like(l)
+                 for l, m in zip(leaves, mleaves)]
+        grads = jax.tree_util.tree_unflatten(treedef, gfull)
 
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               params)
