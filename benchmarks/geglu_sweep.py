@@ -74,21 +74,29 @@ def main():
             return x, w, b
 
         print(f"{label}  inner={inner}  ({flops/1e9:.0f} GFLOP)")
-        for bm in (512, 1024, 2048, 4096):
-            for bi in (512, 1024):
-                if inner % bi:
-                    continue
-                fn = chained(lambda x, w, b, bm=bm, bi=bi: geglu_projection(
-                    x, w, b, block_m=bm, block_i=bi))
-                try:
-                    t = bench(fn, make_args)
-                except Exception as e:  # noqa: BLE001
-                    print(f"  bm={bm:4d} bi={bi:4d}  FAILED: "
-                          f"{type(e).__name__}: {e}")
-                    continue
-                tc = max(t - RPC_FLOOR_S, 1e-6) / ITERS
-                print(f"  bm={bm:4d} bi={bi:4d}  {tc*1e3:7.2f} ms/iter  "
-                      f"{flops/tc/1e12:6.1f} TF/s")
+        gates = (os.environ.get("VST_SWEEP_GATES", "erf5").split(","))
+        blocks = [int(v) for v in
+                  os.environ.get("VST_SWEEP_BM", "512,1024,2048,4096")
+                  .split(",")]
+        for gate in gates:
+            for bm in blocks:
+                for bi in (512, 1024):
+                    if inner % bi:
+                        continue
+                    fn = chained(
+                        lambda x, w, b, bm=bm, bi=bi, g=gate:
+                        geglu_projection(x, w, b, block_m=bm, block_i=bi,
+                                         gate=g))
+                    try:
+                        t = bench(fn, make_args)
+                    except Exception as e:  # noqa: BLE001
+                        print(f"  {gate} bm={bm:4d} bi={bi:4d}  FAILED: "
+                              f"{type(e).__name__}: {e}")
+                        continue
+                    tc = max(t - RPC_FLOOR_S, 1e-6) / ITERS
+                    print(f"  {gate} bm={bm:4d} bi={bi:4d}  "
+                          f"{tc*1e3:7.2f} ms/iter  "
+                          f"{flops/tc/1e12:6.1f} TF/s")
 
 
 if __name__ == "__main__":

@@ -47,21 +47,41 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf_as(x * (2.0 ** -0.5)))
 
 
-def _kernel(x_ref, wh_ref, wg_ref, bh_ref, bg_ref, o_ref):
-    x = x_ref[...]
-    h = jax.lax.dot_general(x, wh_ref[...].astype(x.dtype),
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    g = jax.lax.dot_general(x, wg_ref[...].astype(x.dtype),
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    h = h + bh_ref[...].astype(jnp.float32)
-    g = g + bg_ref[...].astype(jnp.float32)
-    o_ref[...] = (h * _gelu_exact(g)).astype(o_ref.dtype)
+def _gelu_cdf3(x):
+    """gelu via the DIRECT normal CDF (Abramowitz-Stegun 26.2.16,
+    3-term, |err(Phi)| < 1e-5 => |err(gelu)| < ~6e-5 absolute — still
+    ~60x under the bf16 output ULP at |x|~2). Shorter VPU chain than the
+    erf route: the 0.5/(1/sqrt2) wraps fold into the CDF constants and
+    the 5-term poly drops to 3 (~17 elementwise ops vs ~23)."""
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.33267 * ax)
+    poly = t * (0.4361836 + t * (-0.1201676 + t * 0.9372980))
+    pdf = 0.3989422804014327 * jnp.exp2(-(0.5 * _LOG2E) * (ax * ax))
+    phi_pos = 1.0 - pdf * poly
+    phi = jnp.where(x >= 0, phi_pos, 1.0 - phi_pos)
+    return x * phi
+
+
+_GATES = {"erf5": _gelu_exact, "cdf3": _gelu_cdf3}
+
+
+def _make_kernel(gate):
+    def _kernel(x_ref, wh_ref, wg_ref, bh_ref, bg_ref, o_ref):
+        x = x_ref[...]
+        h = jax.lax.dot_general(x, wh_ref[...].astype(x.dtype),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        g = jax.lax.dot_general(x, wg_ref[...].astype(x.dtype),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        h = h + bh_ref[...].astype(jnp.float32)
+        g = g + bg_ref[...].astype(jnp.float32)
+        o_ref[...] = (h * gate(g)).astype(o_ref.dtype)
+    return _kernel
 
 
 def _fwd_call(x2d, w, b, *, inner: int, block_m: int, block_i: int,
-              interpret=None):
+              gate: str = "erf5", interpret=None):
     if interpret is None:
         from video_style_transfer_tpu.ops.common import should_interpret
         interpret = should_interpret()
@@ -72,7 +92,7 @@ def _fwd_call(x2d, w, b, *, inner: int, block_m: int, block_i: int,
     grid = (pl.cdiv(m, bm), inner // bi)
     nb_i = inner // bi
     return pl.pallas_call(
-        _kernel,
+        _make_kernel(_GATES[gate]),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, c), lambda i, j: (i, 0)),
@@ -103,19 +123,19 @@ def _reference(x2d, w, b):
                            approximate=False).astype(h.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _geglu(x2d, w, b, inner, block_m, block_i):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _geglu(x2d, w, b, inner, block_m, block_i, gate):
     return _fwd_call(x2d, w, b, inner=inner, block_m=block_m,
-                     block_i=block_i)
+                     block_i=block_i, gate=gate)
 
 
-def _geglu_fwd(x2d, w, b, inner, block_m, block_i):
+def _geglu_fwd(x2d, w, b, inner, block_m, block_i, gate):
     out = _fwd_call(x2d, w, b, inner=inner, block_m=block_m,
-                    block_i=block_i)
+                    block_i=block_i, gate=gate)
     return out, (x2d, w, b)
 
 
-def _geglu_bwd(inner, block_m, block_i, res, g_out):
+def _geglu_bwd(inner, block_m, block_i, gate, res, g_out):
     """Manual backward: the jax.vjp(_reference) form materialized f32
     (M, inner) intermediates (640 MB each at the motion-FF level-0
     training shape) that, with fragmentation, pushed the full-scale
@@ -165,15 +185,21 @@ import os as _os
 # block, so quadrupling block_m cuts W re-reads 4x; past 2048 the f32
 # h/g intermediates crowd VMEM and L2-shape times regress).
 _DEFAULT_BLOCK_M = int(_os.environ.get("VST_GEGLU_BLOCK_M", "2048"))
+# gate variant: "erf5" (A-S 7.1.26 erf, the long-standing default) or
+# "cdf3" (direct 3-term normal CDF — shorter VPU chain, err < 1e-5)
+_DEFAULT_GATE = _os.environ.get("VST_GEGLU_GATE", "erf5")
 
 
-def geglu_projection(x, w, b, *, block_m: int = None, block_i: int = 512):
+def geglu_projection(x, w, b, *, block_m: int = None, block_i: int = 512,
+                     gate: str = None):
     """x: (..., C); w: (C, 2*inner); b: (2*inner,). Returns
     (..., inner) = h * gelu(g) with [h|g] = x@w + b. Falls back to the
     XLA form when shapes don't tile (tiny test configs). C needs no
     alignment — the x/W blocks span the full C dim."""
     if block_m is None:
         block_m = _DEFAULT_BLOCK_M
+    if gate is None:
+        gate = _DEFAULT_GATE
     c = x.shape[-1]
     inner = w.shape[1] // 2
     lead = x.shape[:-1]
@@ -183,5 +209,5 @@ def geglu_projection(x, w, b, *, block_m: int = None, block_i: int = 512):
     if bi == 0 or m % 8 != 0:
         out = _reference(x2d, w.astype(x2d.dtype), b)
     else:
-        out = _geglu(x2d, w, b, inner, block_m, bi)
+        out = _geglu(x2d, w, b, inner, block_m, bi, gate)
     return out.reshape(lead + (inner,))
