@@ -59,3 +59,35 @@ def test_gradients_match():
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("gate", ["erf5", "cdf3"])
+def test_gate_variants_vs_float64_gelu(gate):
+    """Both in-kernel gate polynomials against the float64 exact-erf
+    gelu: erf5 (A-S 7.1.26, |err|<1.5e-7) and cdf3 (A-S 26.2.16 normal
+    CDF, |err(Phi)|<1e-5 -> |err(gelu(x))| <= |x|*1e-5) — both far
+    below the bf16 output ULP the serving path quantizes to."""
+    from scipy import special
+
+    from video_style_transfer_tpu.ops import geglu as G
+    x = np.linspace(-8.0, 8.0, 20001).astype(np.float32)
+    want = 0.5 * x.astype(np.float64) * (
+        1.0 + special.erf(x.astype(np.float64) / np.sqrt(2.0)))
+    got = np.asarray(G._GATES[gate](jnp.asarray(x)))
+    err = np.abs(got - want)
+    bound = 1e-6 if gate == "erf5" else 1.2e-4  # f32 eval round-off
+    assert err.max() < bound, (gate, err.max())
+
+
+def test_gate_variant_end_to_end_close():
+    """The cdf3 kernel output matches the erf5 kernel within bf16
+    round-off at a real tiled shape."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    x = jax.random.normal(k1, (64, 128), jnp.bfloat16)
+    w = (jax.random.normal(k2, (128, 512)) * 0.05).astype(jnp.bfloat16)
+    b = (jax.random.normal(k3, (512,)) * 0.1).astype(jnp.bfloat16)
+    a = np.asarray(geglu_projection(x, w, b, block_m=32, block_i=128,
+                                    gate="erf5"), np.float32)
+    c = np.asarray(geglu_projection(x, w, b, block_m=32, block_i=128,
+                                    gate="cdf3"), np.float32)
+    np.testing.assert_allclose(a, c, atol=2 * 2.0 ** -8 * 4, rtol=0.02)
