@@ -26,10 +26,15 @@ def test_matches_reference(m, c, inner):
     x = jax.random.normal(k1, (2, m, c))
     w = jax.random.normal(k2, (c, 2 * inner)) * 0.05
     b = jax.random.normal(k3, (2 * inner,)) * 0.1
-    got = geglu_projection(x, w, b, block_m=32, block_i=128)
     want = _ref(x, w, b)
+    # erf5 gate: 1.5e-7 approximation error — f32-tight vs exact erf
+    got = geglu_projection(x, w, b, block_m=32, block_i=128, gate="erf5")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-5)
+    # default gate (cdf3): documented |err| <= |g|*1e-5 absolute
+    got = geglu_projection(x, w, b, block_m=32, block_i=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=1.2e-4)
 
 
 def test_bf16():
@@ -61,11 +66,12 @@ def test_gradients_match():
                                    rtol=1e-3, atol=1e-4)
 
 
-@pytest.mark.parametrize("gate", ["erf5", "cdf3"])
+@pytest.mark.parametrize("gate", ["erf5", "cdf3", "poly14"])
 def test_gate_variants_vs_float64_gelu(gate):
-    """Both in-kernel gate polynomials against the float64 exact-erf
-    gelu: erf5 (A-S 7.1.26, |err|<1.5e-7) and cdf3 (A-S 26.2.16 normal
-    CDF, |err(Phi)|<1e-5 -> |err(gelu(x))| <= |x|*1e-5) — both far
+    """In-kernel gate polynomials against the float64 exact-erf
+    gelu: erf5 (A-S 7.1.26, |err|<1.5e-7), cdf3 (A-S 26.2.16 normal
+    CDF, |err(Phi)|<1e-5 -> |err(gelu(x))| <= |x|*1e-5), and poly14
+    (transcendental-free clamped Chebyshev erf, |err|<2e-6) — all far
     below the bf16 output ULP the serving path quantizes to."""
     from scipy import special
 
@@ -75,13 +81,15 @@ def test_gate_variants_vs_float64_gelu(gate):
         1.0 + special.erf(x.astype(np.float64) / np.sqrt(2.0)))
     got = np.asarray(G._GATES[gate](jnp.asarray(x)))
     err = np.abs(got - want)
-    bound = 1e-6 if gate == "erf5" else 1.2e-4  # f32 eval round-off
+    bound = {"erf5": 1e-6, "cdf3": 1.2e-4,  # f32 eval round-off
+             "poly14": 2e-6}[gate]
     assert err.max() < bound, (gate, err.max())
 
 
-def test_gate_variant_end_to_end_close():
-    """The cdf3 kernel output matches the erf5 kernel within bf16
-    round-off at a real tiled shape."""
+@pytest.mark.parametrize("gate", ["cdf3", "poly14"])
+def test_gate_variant_end_to_end_close(gate):
+    """Each alternate gate's kernel output matches the erf5 kernel
+    within bf16 round-off at a real tiled shape."""
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
     x = jax.random.normal(k1, (64, 128), jnp.bfloat16)
     w = (jax.random.normal(k2, (128, 512)) * 0.05).astype(jnp.bfloat16)
@@ -89,5 +97,5 @@ def test_gate_variant_end_to_end_close():
     a = np.asarray(geglu_projection(x, w, b, block_m=32, block_i=128,
                                     gate="erf5"), np.float32)
     c = np.asarray(geglu_projection(x, w, b, block_m=32, block_i=128,
-                                    gate="cdf3"), np.float32)
+                                    gate=gate), np.float32)
     np.testing.assert_allclose(a, c, atol=2 * 2.0 ** -8 * 4, rtol=0.02)

@@ -11,7 +11,9 @@ gated half: one 2x-inner round trip of HBM traffic saved per FF.
 
 W stays the checkpoint layout (C, 2*inner) with halves [W_h | W_g]; the
 kernel receives it twice with index maps offset by inner, so no slice is
-ever materialized. gelu is exact (erf), matching layers.gelu.
+ever materialized. gelu is exact-erf to under the bf16 output ULP; the
+in-kernel approximation is selectable (_GATES / VST_GEGLU_GATE) and the
+default is the measured-fastest variant (see _DEFAULT_GATE note).
 
 Backward: a hand-written dtype-careful VJP (_geglu_bwd) — matmul
 boundaries stay in the activation dtype while the gelu'/pdf gate math
@@ -62,7 +64,37 @@ def _gelu_cdf3(x):
     return x * phi
 
 
-_GATES = {"erf5": _gelu_exact, "cdf3": _gelu_cdf3}
+# Degree-14 polynomial for erf(x/sqrt(2)) = x*R(x^2), Chebyshev-fit in
+# t = 2*x^2/XMAX^2 - 1 and evaluated by Horner in the t POWER basis — the
+# [-1,1] domain keeps every partial product <= sum|coef| = 0.8, so f32
+# Horner round-off stays ~1 ulp (a power-series-in-x^2 form of the same
+# fit loses 3 decades to cancellation). Input clamped to +-XMAX where
+# erf has saturated to 1 within 7e-8. Measured max |gelu error| vs
+# float64 exact erf: 1.7e-6 over [-9, 9] in f32 arithmetic — erf5-class
+# accuracy with NO transcendentals: the erf5/cdf3 chains spend most of
+# the gate's VPU time in exp2 + reciprocal (multi-cycle ops); this is
+# 14 fma + clamp + 3 mul of single-cycle work.
+_P14_XMAX = 5.4
+_P14_TSCALE = 2.0 / (_P14_XMAX * _P14_XMAX)
+_P14_COEF = (
+    0.26185622220921656, -0.13065609481680923, 0.09699951875067843,
+    -0.07841408412755317, 0.06422728013461654, -0.051488954314033455,
+    0.03932888845773156, -0.027941163343751726, 0.019183359175576342,
+    -0.01340499669652595, 0.007504966895981539, -0.0023944706774313563,
+    0.0016048457692697362, -0.002049756592036783, 0.00082965585022015,
+)
+
+
+def _gelu_poly14(x):
+    xc = jnp.clip(x, -_P14_XMAX, _P14_XMAX)
+    t = xc * xc * _P14_TSCALE - 1.0
+    r = jnp.full_like(t, _P14_COEF[-1])
+    for a in _P14_COEF[-2::-1]:
+        r = r * t + a
+    return 0.5 * x * (1.0 + xc * r)
+
+
+_GATES = {"erf5": _gelu_exact, "cdf3": _gelu_cdf3, "poly14": _gelu_poly14}
 
 
 def _make_kernel(gate):
@@ -185,9 +217,15 @@ import os as _os
 # block, so quadrupling block_m cuts W re-reads 4x; past 2048 the f32
 # h/g intermediates crowd VMEM and L2-shape times regress).
 _DEFAULT_BLOCK_M = int(_os.environ.get("VST_GEGLU_BLOCK_M", "2048"))
-# gate variant: "erf5" (A-S 7.1.26 erf, the long-standing default) or
-# "cdf3" (direct 3-term normal CDF — shorter VPU chain, err < 1e-5)
-_DEFAULT_GATE = _os.environ.get("VST_GEGLU_GATE", "erf5")
+# gate variant: "cdf3" (direct 3-term normal CDF — the measured-fastest
+# chain, err < 1e-5 gelu absolute, ~40x under the bf16 output ULP at
+# |x|~2), "erf5" (A-S 7.1.26 erf, err < 1.5e-7, the round-1 default), or
+# "poly14" (transcendental-free clamped Chebyshev erf, err < 2e-6).
+# 10-step e2e video A/B on v5e, two reps each: cdf3 21.18/21.19 s
+# denoise, poly14 21.42/21.38, erf5 21.56/21.56 — cdf3 is ~38 ms/step
+# (+1.6% e2e fps) over erf5; the VPU pipelines cdf3's exp2+reciprocal
+# better than poly14's 14 serial FMAs.
+_DEFAULT_GATE = _os.environ.get("VST_GEGLU_GATE", "cdf3")
 
 
 def geglu_projection(x, w, b, *, block_m: int = None, block_i: int = 512,
