@@ -1,0 +1,85 @@
+"""Packed-heads flash kernel block sweep — on-chip chained protocol.
+
+The single-call-per-fetch protocol of flash_sweep_packed.py is unusable
+when per-call time is near the tunnel's ~28.5 ms RPC floor (observed
+60-270 ms scatter for a ~24 ms kernel). Here each trial jits a chain of
+ITERS dependent kernel calls (q_{i+1} = out_i, k/v fixed) so one fetch
+amortizes the floor and the chain defeats the (program, inputs) result
+cache; per-iter time = (t_chain - floor) / ITERS.
+
+  python benchmarks/flash_sweep_chain.py [--iters 16]
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+FLOOR_S = 0.0285
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=16)
+    ap.add_argument("--trials", type=int, default=3)
+    args = ap.parse_args()
+    from video_style_transfer_tpu.ops.flash_attention import _flash_packed
+
+    # (B, S, H, D): 640ch level = 32 rows x 10 heads x 4096 tokens;
+    # 1280ch level = 32 rows x 20 heads x 1024 tokens
+    shapes = [(32, 4096, 10, 64), (32, 1024, 20, 64)]
+    for b, s, h, d in shapes:
+        def make_args(seed, b=b, s=s, h=h, d=d):
+            ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+            q = jax.random.normal(ks[0], (b, s, h * d), jnp.bfloat16)
+            k = jax.random.normal(ks[1], (b, s, h * d), jnp.bfloat16)
+            v = jax.random.normal(ks[2], (b, s, h * d), jnp.bfloat16)
+            return q, k, v
+
+        flops = 4 * b * h * s * s * d
+        for bq, bk in [(512, 1024), (1024, 1024), (512, 2048),
+                       (1024, 2048), (512, 4096), (256, 4096),
+                       (1024, 4096)]:
+            if bq > s or bk > s:
+                continue
+
+            @jax.jit
+            def chain(q, k, v, bq=bq, bk=bk):
+                for _ in range(args.iters):
+                    # outputs are softmax-averaged rows (|q| shrinks);
+                    # rescale so logits stay in a realistic range
+                    q = _flash_packed(q, k, v, h, d ** -0.5, bq, bk)
+                    q = (q * 4.0).astype(jnp.bfloat16)
+                return q
+
+            def run(q, k, v, chain=chain):
+                return float(jnp.sum(chain(q, k, v).astype(jnp.float32)))
+
+            try:
+                run(*make_args(0))  # compile
+                times = []
+                for t in range(args.trials):
+                    a = make_args(int(time.time() * 1e3) % (2 ** 31) + t)
+                    t0 = time.time()
+                    run(*a)
+                    times.append(time.time() - t0)
+                sec = (min(times) - FLOOR_S) / args.iters
+            except Exception as e:
+                print(json.dumps({"shape": [b, s, h, d],
+                                  "impl": f"packed_{bq}_{bk}",
+                                  "error": str(e)[:120]}), flush=True)
+                continue
+            print(json.dumps({
+                "shape": [b, s, h, d], "impl": f"packed_{bq}_{bk}",
+                "ms": round(sec * 1e3, 2),
+                "tflops": round(flops / sec / 1e12, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

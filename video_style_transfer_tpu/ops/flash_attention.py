@@ -34,9 +34,14 @@ from jax.experimental.pallas import tpu as pltpu
 # D=64): 512/512: 23 TF/s, 512/1024: 38, 1024/1024: 38 (XLA: 8). Round 2
 # (packed kernel at the serving shape B=32, S=4096, H=10):
 # 1024/2048 runs ~13% faster floor-corrected than 1024/1024
-# (benchmarks/flash_sweep_packed.py).
-DEFAULT_BLOCK_Q = 1024
-DEFAULT_BLOCK_K = 2048
+# (benchmarks/flash_sweep_packed.py). Round 2 late, chained on-chip
+# protocol (benchmarks/flash_sweep_chain.py): block_k = S = 4096 runs
+# single-pass — no online-softmax correction chain and the MXU row-sum
+# applies — 22.4 -> 18.8 ms (+16%) over 1024/2048 at the big serving
+# shape, so block_k defaults to the whole sequence for d<=128.
+import os as _os
+DEFAULT_BLOCK_Q = int(_os.environ.get("VST_FLASH_BLOCK_Q", "1024"))
+DEFAULT_BLOCK_K = int(_os.environ.get("VST_FLASH_BLOCK_K", "4096"))
 from video_style_transfer_tpu.ops.common import LOG2E, should_interpret
 
 NEG_INF = -1e30
