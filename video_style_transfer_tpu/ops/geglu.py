@@ -148,11 +148,20 @@ def _fwd_call(x2d, w, b, *, inner: int, block_m: int, block_i: int,
     )(x2d, w, w, b.reshape(1, -1), b.reshape(1, -1))
 
 
-def _reference(x2d, w, b):
+def _reference(x2d, w, b, gate: str = None):
+    """XLA fallback for shapes the kernel can't tile. Applies the SAME
+    gate approximation as the kernel (f32, matching op order) so the
+    tiled and fallback paths agree to round-off — with exact jax.nn.gelu
+    here, two calls differing only in row count (m%8) would diverge by
+    the gate's full approximation error."""
     y = jnp.dot(x2d, w.astype(x2d.dtype)) + b.astype(x2d.dtype)
     h, g = jnp.split(y, 2, axis=-1)
-    return h * jax.nn.gelu(g.astype(jnp.float32),
-                           approximate=False).astype(h.dtype)
+    gate_fn = _GATES[gate] if gate else jax.nn.gelu
+    if gate:
+        gated = gate_fn(g.astype(jnp.float32))
+    else:
+        gated = jax.nn.gelu(g.astype(jnp.float32), approximate=False)
+    return h * gated.astype(h.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -218,8 +227,10 @@ import os as _os
 # h/g intermediates crowd VMEM and L2-shape times regress).
 _DEFAULT_BLOCK_M = int(_os.environ.get("VST_GEGLU_BLOCK_M", "2048"))
 # gate variant: "cdf3" (direct 3-term normal CDF — the measured-fastest
-# chain, err < 1e-5 gelu absolute, ~40x under the bf16 output ULP at
-# |x|~2), "erf5" (A-S 7.1.26 erf, err < 1.5e-7, the round-1 default), or
+# chain, measured max |gelu err| 2.6e-5 at x~2.4 (A-S bounds Phi to
+# 1e-5, gelu err scales as |x|*1e-5; two orders of magnitude under
+# bf16's own 2^-9 relative round-off),
+# "erf5" (A-S 7.1.26 erf, err < 1.5e-7, the round-1 default), or
 # "poly14" (transcendental-free clamped Chebyshev erf, err < 2e-6).
 # 10-step e2e video A/B on v5e, two reps each: cdf3 21.18/21.19 s
 # denoise, poly14 21.42/21.38, erf5 21.56/21.56 — cdf3 is ~38 ms/step
@@ -245,7 +256,7 @@ def geglu_projection(x, w, b, *, block_m: int = None, block_i: int = 512,
     m = x2d.shape[0]
     bi = _pick_block_i(inner, block_i)
     if bi == 0 or m % 8 != 0:
-        out = _reference(x2d, w.astype(x2d.dtype), b)
+        out = _reference(x2d, w.astype(x2d.dtype), b, gate)
     else:
         out = _geglu(x2d, w, b, inner, block_m, bi, gate)
     return out.reshape(lead + (inner,))
