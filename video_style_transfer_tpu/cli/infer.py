@@ -54,6 +54,11 @@ def build_parser():
     p.add_argument("--sampler", default="euler", choices=["euler", "dpm"])
     p.add_argument("--seeds", type=int, nargs="+",
                    default=[0, 1000, 111, 1234])
+    p.add_argument("--watermark", action="store_true",
+                   help="stamp the SDXL invisible watermark (native "
+                        "implementation, utils/watermark.py; the "
+                        "reference stamps it whenever the "
+                        "invisible-watermark package is installed)")
     p.add_argument("--smoke", action="store_true")
     return p
 
@@ -140,6 +145,10 @@ def main(argv=None):
             # into the key so each draw differs
             key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
             imgs = run(params, uncond, cond, key)
+            if args.watermark:
+                from video_style_transfer_tpu.utils.watermark import \
+                    apply_watermark
+                imgs = apply_watermark(jax.device_get(imgs))
             suffix = f"_{i}" if args.num > 1 else ""
             path = os.path.join(args.output_dir,
                                 f"{args.mode}_seed{seed}{suffix}.png")

@@ -69,10 +69,10 @@ def decode_images(vae_params, vae_cfg, latents):
     """fp32-upcast VAE decode (the reference forces fp32 decode,
     pipeline_stable_diffusion_xl.py:628-649) -> uint8 HWC images.
 
-    Note: the reference optionally stamps SDXL's invisible watermark at
-    postprocess when the `invisible-watermark` package is installed; that
-    package is a host-side DWT-DCT pass unrelated to the compute path and
-    is not bundled here (nor in this environment)."""
+    Note: the reference stamps SDXL's invisible watermark at postprocess
+    when the `invisible-watermark` package is installed; the native
+    equivalent is utils/watermark.py (host-side uint8 pass, applied by
+    cli/infer.py --watermark outside this jitted program)."""
     imgs = vae_decode(vae_params, vae_cfg, latents.astype(jnp.float32))
     imgs = jnp.clip(imgs / 2 + 0.5, 0.0, 1.0)
     return jnp.round(imgs * 255.0).astype(jnp.uint8)
