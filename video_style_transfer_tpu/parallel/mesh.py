@@ -24,24 +24,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 FRAME_AXIS = "frame"
+MODEL_AXIS = "model"
 
 
 def create_mesh(devices: Optional[Sequence] = None, *,
                 data: Optional[int] = None,
-                frame: Optional[int] = None) -> Mesh:
-    """('data', 'frame') mesh. With only one size given the other axis
-    absorbs the remaining devices; default puts everything on 'frame'
-    (the video-serving layout)."""
+                frame: Optional[int] = None,
+                model: int = 0) -> Mesh:
+    """('data', 'frame') mesh — or ('data', 'frame', 'model') when a
+    tensor-parallel size is given (parallel/tensor.py). With only one of
+    data/frame given the other absorbs the remaining devices; default
+    puts everything on 'frame' (the video-serving layout). The model
+    axis is innermost so TP collectives ride the closest ICI links."""
     if devices is None:
         devices = jax.devices()
     n = len(devices)
+    tp = max(model, 1)
+    assert n % tp == 0, (model, n)
+    n_df = n // tp
     if data is None and frame is None:
-        data, frame = 1, n
+        data, frame = 1, n_df
     elif data is None:
-        data = n // frame
+        data = n_df // frame
     elif frame is None:
-        frame = n // data
-    assert data * frame == n, (data, frame, n)
+        frame = n_df // data
+    assert data * frame == n_df, (data, frame, model, n)
+    if model:
+        arr = np.asarray(devices).reshape(data, frame, tp)
+        return Mesh(arr, (DATA_AXIS, FRAME_AXIS, MODEL_AXIS))
     arr = np.asarray(devices).reshape(data, frame)
     return Mesh(arr, (DATA_AXIS, FRAME_AXIS))
 
