@@ -111,6 +111,19 @@ def test_tp_with_unziplora_mode_both():
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.e2e
+def test_infer_cli_tp_smoke(tmp_path):
+    """--tp 2 shards the smoke model over the virtual mesh and still
+    writes an image."""
+    from video_style_transfer_tpu.cli.infer import main as infer
+    outs = infer(["--smoke", "--prompt", "a sbu dog in szn style",
+                  "--mode", "both", "--tp", "2", "--seeds", "0",
+                  "--output_dir", str(tmp_path)])
+    assert len(outs) == 1
+    import os
+    assert os.path.exists(outs[0])
+
+
 def test_tp_spec_rule_unstacked_leaf():
     """Axis indexing is from the right, so unstacked 2D kernels get the
     same split."""

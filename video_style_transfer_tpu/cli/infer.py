@@ -54,6 +54,11 @@ def build_parser():
     p.add_argument("--sampler", default="euler", choices=["euler", "dpm"])
     p.add_argument("--seeds", type=int, nargs="+",
                    default=[0, 1000, 111, 1234])
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel size: shard the spatial "
+                        "transformer weights over a 'model' mesh axis "
+                        "(parallel/tensor.py); must divide the device "
+                        "count; remaining devices form the 'data' axis")
     p.add_argument("--watermark", action="store_true",
                    help="stamp the SDXL invisible watermark (native "
                         "implementation, utils/watermark.py; the "
@@ -128,6 +133,15 @@ def main(argv=None):
         negative_prompt_2=args.negative_prompt_2,
         negative_prompt_content=args.negative_prompt_content,
         negative_prompt_style=args.negative_prompt_style)
+    if args.tp > 1:
+        from video_style_transfer_tpu.parallel.mesh import create_mesh
+        from video_style_transfer_tpu.parallel.tensor import shard_params_tp
+        n_dev = len(jax.devices())
+        mesh = create_mesh(jax.devices(), data=n_dev // args.tp, frame=1,
+                           model=args.tp)
+        params = shard_params_tp(params, mesh)
+        print(f"tensor parallel: mesh {dict(mesh.shape)}")
+
     # conditioning passes as a jit ARGUMENT (not a baked constant) so new
     # prompts reuse the compiled program
     run = jax.jit(lambda p, u, c, key: generate_images(
