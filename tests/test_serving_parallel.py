@@ -1,0 +1,111 @@
+"""Multi-device serving CLI paths: --dp sample-parallel image serving
+(one (seed, draw) job per 'data'-axis device) and --frame_parallel video
+serving (the production v5e-8 frame-sharded layout), both on the forced
+8-device CPU mesh. The underlying sharded programs are covered by
+tests/test_pipelines.py; these exercise the user-facing wiring."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def test_stacked_keys_match_single_runs():
+    """generate_latents with a (B, 2) key stack: row i draws the SAME
+    initial noise as a batch-1 run with key i, and the denoised row
+    matches that run to fp32 tolerance (the batched UNet accumulates in
+    a different order, so bitwise equality holds for the noise, not the
+    trajectory)."""
+    from video_style_transfer_tpu.config import UNetConfig
+    from video_style_transfer_tpu.models.unet import init_unet
+    from video_style_transfer_tpu.pipelines.image import (
+        default_time_ids, generate_latents)
+    from video_style_transfer_tpu.pipelines.sampling import (
+        Conditioning, tile_conditioning)
+
+    cfg = UNetConfig.tiny()
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    d = cfg.cross_attention_dim
+
+    def cond(seed, b):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 2)
+        return Conditioning(
+            ctx=(jnp.tile(jax.random.normal(ks[0], (1, 7, d)), (b, 1, 1)),
+                 None, None),
+            pooled=jnp.tile(jax.random.normal(ks[1], (1, 32)), (b, 1)),
+            time_ids=default_time_ids(16, 16, b))
+
+    keys = jnp.stack([jax.random.PRNGKey(5), jax.random.PRNGKey(9)])
+    batched = generate_latents(
+        params, cfg, cond(1, 2), cond(2, 2), keys, height=16, width=16,
+        batch=2, num_steps=2, dtype=jnp.float32, vae_scale_factor=2)
+    for i in range(2):
+        single = generate_latents(
+            params, cfg, cond(1, 1), cond(2, 1), keys[i], height=16,
+            width=16, batch=1, num_steps=2, dtype=jnp.float32,
+            vae_scale_factor=2)
+        np.testing.assert_allclose(np.asarray(batched[i]),
+                                   np.asarray(single[0]),
+                                   rtol=2e-4, atol=2e-4)
+
+    # tile_conditioning repeats rows and preserves None streams
+    t = tile_conditioning(cond(1, 1), 3)
+    assert t.ctx[0].shape[0] == 3 and t.ctx[1] is None
+    np.testing.assert_array_equal(np.asarray(t.pooled[0]),
+                                  np.asarray(t.pooled[2]))
+
+
+def test_infer_cli_dp_matches_single(tmp_path):
+    """--dp 2 writes one image per seed, each matching the --dp 1 output
+    for that seed to within uint8 rounding (the sharded program computes
+    the same math; layout changes move only reduction order)."""
+    from PIL import Image
+
+    from video_style_transfer_tpu.cli.infer import main as infer
+
+    def load_image(p):
+        return np.asarray(Image.open(p))
+
+    base = ["--smoke", "--prompt", "a sbu dog in szn style",
+            "--mode", "both", "--seeds", "0", "1000"]
+    out_dp = infer(base + ["--dp", "2", "--output_dir",
+                           str(tmp_path / "dp")])
+    out_1 = infer(base + ["--output_dir", str(tmp_path / "single")])
+    assert [os.path.basename(p) for p in out_dp] == \
+           [os.path.basename(p) for p in out_1]
+    for p_dp, p_1 in zip(out_dp, out_1):
+        a = load_image(p_dp).astype(np.int32)
+        b = load_image(p_1).astype(np.int32)
+        assert np.abs(a - b).max() <= 1, (p_dp, np.abs(a - b).max())
+
+
+def test_infer_cli_dp_pads_short_final_chunk(tmp_path):
+    """3 jobs at --dp 2: the final chunk pads with a repeat and the pad
+    row is not written."""
+    from video_style_transfer_tpu.cli.infer import main as infer
+    outs = infer(["--smoke", "--prompt", "a sbu dog", "--mode", "both",
+                  "--seeds", "0", "1000", "111", "--dp", "2",
+                  "--output_dir", str(tmp_path)])
+    assert len(outs) == 3
+    assert sorted(os.listdir(tmp_path)) == sorted(
+        os.path.basename(p) for p in outs)
+
+
+def test_infer_video_cli_frame_parallel(tmp_path):
+    """--frame_parallel 4 shards the 4 smoke frames over an all-'frame'
+    mesh and still writes a playable video per mode."""
+    from video_style_transfer_tpu.cli.infer_video import main as infer
+    outs = infer(["--smoke", "--prompt", "a sbu horse in szn style",
+                  "--modes", "both", "--frame_parallel", "4",
+                  "--output_dir", str(tmp_path)])
+    assert len(outs) == 1
+    assert os.path.getsize(outs[0]) > 0
+
+
+def test_infer_video_cli_frame_parallel_validates(tmp_path):
+    import pytest
+    from video_style_transfer_tpu.cli.infer_video import main as infer
+    with pytest.raises(SystemExit):
+        infer(["--smoke", "--prompt", "p", "--modes", "both",
+               "--frame_parallel", "3",  # does not divide 4 smoke frames
+               "--output_dir", str(tmp_path)])

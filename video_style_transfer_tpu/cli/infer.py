@@ -59,6 +59,14 @@ def build_parser():
                         "transformer weights over a 'model' mesh axis "
                         "(parallel/tensor.py); must divide the device "
                         "count; remaining devices form the 'data' axis")
+    p.add_argument("--dp", type=int, default=1,
+                   help="sample-parallel serving: generate dp images per "
+                        "call (one (seed, draw) job per 'data'-axis "
+                        "device, each with its own PRNG key — bitwise "
+                        "the batch-1 noise). Composes with --tp; uses "
+                        "dp*tp devices. This is the image-latency "
+                        "scaling lever on a pod (PERF.md: one chip is "
+                        "compute-saturated from batch 4 up)")
     p.add_argument("--watermark", action="store_true",
                    help="stamp the SDXL invisible watermark (native "
                         "implementation, utils/watermark.py; the "
@@ -74,7 +82,6 @@ def main(argv=None):
     from video_style_transfer_tpu.data.video_io import save_image
     from video_style_transfer_tpu.lora import interop
     from video_style_transfer_tpu.lora.surgery import insert_unziplora
-    from video_style_transfer_tpu.pipelines.image import generate_images
 
     os.makedirs(args.output_dir, exist_ok=True)
     bundle = common.load_models(args.pretrained_model_name_or_path,
@@ -133,40 +140,75 @@ def main(argv=None):
         negative_prompt_2=args.negative_prompt_2,
         negative_prompt_content=args.negative_prompt_content,
         negative_prompt_style=args.negative_prompt_style)
-    if args.tp > 1:
-        from video_style_transfer_tpu.parallel.mesh import create_mesh
-        from video_style_transfer_tpu.parallel.tensor import shard_params_tp
-        n_dev = len(jax.devices())
-        mesh = create_mesh(jax.devices(), data=n_dev // args.tp, frame=1,
-                           model=args.tp)
-        params = shard_params_tp(params, mesh)
-        print(f"tensor parallel: mesh {dict(mesh.shape)}")
+    dp = max(args.dp, 1)
+    mesh = None
+    if args.tp > 1 or dp > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from video_style_transfer_tpu.parallel.mesh import (
+            create_mesh, replicate)
+        devs = jax.devices()
+        need = dp * max(args.tp, 1)
+        if len(devs) < need:
+            raise SystemExit(f"--dp {dp} x --tp {args.tp} needs {need} "
+                             f"devices; {len(devs)} available")
+        mesh = create_mesh(devs[:need], data=dp, frame=1,
+                           model=args.tp if args.tp > 1 else 0)
+        if args.tp > 1:
+            from video_style_transfer_tpu.parallel.tensor import \
+                shard_params_tp
+            params = shard_params_tp(params, mesh)
+        else:
+            params = jax.device_put(params, replicate(mesh))
+        print(f"serving mesh {dict(mesh.shape)}")
+
+    from video_style_transfer_tpu.pipelines.image import (
+        decode_images, generate_latents)
+    from video_style_transfer_tpu.pipelines.sampling import tile_conditioning
+
+    if dp > 1:
+        cond, uncond = tile_conditioning(cond, dp), tile_conditioning(
+            uncond, dp)
 
     # conditioning passes as a jit ARGUMENT (not a baked constant) so new
-    # prompts reuse the compiled program
-    run = jax.jit(lambda p, u, c, key: generate_images(
-        p, bundle.unet_cfg, bundle.vae, bundle.vae_cfg, u, c, key,
-        height=height, width=width, num_steps=steps,
-        cfg_scale=args.guidance_scale, sampler=args.sampler,
-        mode=args.mode, state=state,
-        dtype=jnp.float32 if args.smoke else jnp.bfloat16,
-        vae_scale_factor=bundle.vae_scale_factor))
+    # prompts reuse the compiled program; with --dp the key argument is a
+    # (dp, 2) STACK of per-row PRNG keys
+    def _gen(p, u, c, key):
+        lat = generate_latents(
+            p, bundle.unet_cfg, u, c, key, height=height, width=width,
+            batch=dp, num_steps=steps, cfg_scale=args.guidance_scale,
+            sampler=args.sampler, mode=args.mode, state=state,
+            dtype=jnp.float32 if args.smoke else jnp.bfloat16,
+            vae_scale_factor=bundle.vae_scale_factor)
+        if dp > 1:
+            lat = jax.lax.with_sharding_constraint(
+                lat, NamedSharding(mesh, P("data")))
+        return decode_images(bundle.vae, bundle.vae_cfg, lat)
 
+    run = jax.jit(_gen)
+
+    # one (seed, draw) job per output image (reference infer.py:99
+    # generates --num per seed); --dp serves dp jobs per call, one per
+    # 'data'-axis device — the final short chunk pads with repeats
+    jobs = [(seed, i) for seed in args.seeds
+            for i in range(max(args.num, 1))]
     outs = []
-    for seed in args.seeds:
-        for i in range(max(args.num, 1)):
-            # --num images per seed (reference infer.py:99); i folds
-            # into the key so each draw differs
-            key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
-            imgs = run(params, uncond, cond, key)
-            if args.watermark:
-                from video_style_transfer_tpu.utils.watermark import \
-                    apply_watermark
-                imgs = apply_watermark(jax.device_get(imgs))
+    for start in range(0, len(jobs), dp):
+        chunk = jobs[start:start + dp]
+        keys = [jax.random.fold_in(jax.random.PRNGKey(s), i)
+                for s, i in chunk]
+        keys += [keys[-1]] * (dp - len(chunk))
+        karg = keys[0] if dp == 1 else jnp.stack(keys)
+        imgs = jax.device_get(run(params, uncond, cond, karg))
+        if args.watermark:
+            from video_style_transfer_tpu.utils.watermark import \
+                apply_watermark
+            imgs = apply_watermark(imgs)
+        for (seed, i), img in zip(chunk, imgs):
             suffix = f"_{i}" if args.num > 1 else ""
             path = os.path.join(args.output_dir,
                                 f"{args.mode}_seed{seed}{suffix}.png")
-            save_image(jax.device_get(imgs[0]), path)
+            save_image(img, path)
             outs.append(path)
             print("wrote", path)
     return outs

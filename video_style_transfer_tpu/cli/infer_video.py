@@ -61,6 +61,14 @@ def build_parser():
                         "half type); the VAE decode is always fp32")
     p.add_argument("--fps", type=int, default=8)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--frame_parallel", type=int, default=1,
+                   help="shard the frame axis over N devices (an "
+                        "all-'frame' mesh): spatial layers run "
+                        "embarrassingly parallel, temporal attention "
+                        "all-gathers F<=32 per pixel block on ICI, and "
+                        "the fp32 VAE decode shards per frame — the "
+                        "production v5e-8 serving layout (N must divide "
+                        "--num_frames)")
     p.add_argument("--smoke", action="store_true")
     return p
 
@@ -144,6 +152,21 @@ def main(argv=None):
 
     from video_style_transfer_tpu.lora.surgery import fold_unziplora
 
+    mesh = None
+    if args.frame_parallel > 1:
+        from video_style_transfer_tpu.parallel.mesh import (
+            create_mesh, replicate)
+        n = args.frame_parallel
+        if len(jax.devices()) < n:
+            raise SystemExit(f"--frame_parallel {n} needs {n} devices; "
+                             f"{len(jax.devices())} available")
+        if frames % n != 0:
+            raise SystemExit(f"--frame_parallel {n} must divide "
+                             f"--num_frames {frames}")
+        mesh = create_mesh(jax.devices()[:n])  # every device on 'frame'
+        bundle.vae = jax.device_put(bundle.vae, replicate(mesh))
+        print(f"frame-parallel serving: mesh {dict(mesh.shape)}")
+
     outs = []
     for mode in args.modes:
         cond = common.make_conditioning(bundle, mode_prompts[mode],
@@ -158,16 +181,43 @@ def main(argv=None):
         else:
             fparams, _ = fold_unziplora(params, state, mode=mode,
                                         fold_cross_kv=True)
-        run = jax.jit(lambda p, u, c, key, m=mode: generate_video(
-            p, bundle.unet_cfg, bundle.vae, bundle.vae_cfg, u, c,
-            key, num_frames=frames, height=height, width=width,
-            num_steps=steps,
-            cfg_scale=args.guidance_scale, mode=m, state=state,
-            dtype=jnp.float32 if (args.smoke
-                                  or args.mixed_precision == "no")
-            else jnp.bfloat16,
-            decode_chunk=1 if not args.smoke else frames,
-            vae_scale_factor=bundle.vae_scale_factor))
+        dtype = (jnp.float32 if (args.smoke or args.mixed_precision
+                                 == "no") else jnp.bfloat16)
+
+        if mesh is None:
+            def run_fn(p, u, c, key, m=mode):
+                return generate_video(
+                    p, bundle.unet_cfg, bundle.vae, bundle.vae_cfg, u, c,
+                    key, num_frames=frames, height=height, width=width,
+                    num_steps=steps, cfg_scale=args.guidance_scale,
+                    mode=m, state=state, dtype=dtype,
+                    decode_chunk=1 if not args.smoke else frames,
+                    vae_scale_factor=bundle.vae_scale_factor)
+        else:
+            # the production multi-chip layout (__graft_entry__'s serving
+            # dryrun): frame-sharded denoise + frame-sharded fp32 decode
+            # in one jitted program; GSPMD inserts the temporal-attention
+            # all-gather from the sharding constraint
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from video_style_transfer_tpu.pipelines.video import (
+                decode_video, generate_video_latents)
+
+            def run_fn(p, u, c, key, m=mode):
+                lat = generate_video_latents(
+                    p, bundle.unet_cfg, u, c, key, num_frames=frames,
+                    height=height, width=width, num_steps=steps,
+                    cfg_scale=args.guidance_scale, mode=m, state=state,
+                    dtype=dtype,
+                    vae_scale_factor=bundle.vae_scale_factor)
+                lat = jax.lax.with_sharding_constraint(
+                    lat, NamedSharding(mesh, P("frame")))
+                return decode_video(bundle.vae, bundle.vae_cfg, lat,
+                                    chunk=frames)
+
+            fparams = jax.device_put(
+                fparams, NamedSharding(mesh, P()))
+        run = jax.jit(run_fn)
         video = run(fparams, uncond, cond, jax.random.PRNGKey(args.seed))
         path = save_video(list(jax.device_get(video)),
                           os.path.join(args.output_dir, f"{mode}.mp4"),

@@ -47,7 +47,17 @@ def generate_latents(unet_params, unet_cfg, uncond: Conditioning,
         sched = make_schedule()
     latent_shape = (batch, height // vae_scale_factor,
                     width // vae_scale_factor, unet_cfg.in_channels)
-    noise = jax.random.normal(key, latent_shape, dtype)
+    if getattr(key, "ndim", 0) == 2:
+        # a (batch, 2) STACK of PRNG keys: one independent seed per row
+        # (batched serving of distinct seeds). Each row's noise is drawn
+        # with shape (1, ...) so it is bitwise-identical to a batch-1 run
+        # with that key.
+        assert key.shape[0] == batch, (key.shape, batch)
+        noise = jnp.concatenate(
+            [jax.random.normal(key[i], (1,) + latent_shape[1:], dtype)
+             for i in range(batch)], axis=0)
+    else:
+        noise = jax.random.normal(key, latent_shape, dtype)
 
     eps_fn = make_cfg_denoiser(
         unet_params, unet_cfg, uncond, cond, cfg_scale=cfg_scale,

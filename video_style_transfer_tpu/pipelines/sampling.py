@@ -27,6 +27,18 @@ class Conditioning(NamedTuple):
     time_ids: jnp.ndarray
 
 
+def tile_conditioning(c: Conditioning, n: int) -> Conditioning:
+    """Repeat a batch-1 Conditioning to n serving rows (batched image
+    serving: the same prompt set conditions every sample in the batch)."""
+    def rep(x):
+        if x is None:
+            return None
+        return jnp.tile(x, (n,) + (1,) * (x.ndim - 1))
+
+    return Conditioning(ctx=tuple(rep(e) for e in c.ctx),
+                        pooled=rep(c.pooled), time_ids=rep(c.time_ids))
+
+
 def _cat_cond(uncond: Conditioning, cond: Conditioning) -> Conditioning:
     def cat(a, b):
         if a is None and b is None:
