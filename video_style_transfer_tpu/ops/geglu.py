@@ -236,7 +236,19 @@ _DEFAULT_BLOCK_M = int(_os.environ.get("VST_GEGLU_BLOCK_M", "2048"))
 # denoise, poly14 21.42/21.38, erf5 21.56/21.56 — cdf3 is ~38 ms/step
 # (+1.6% e2e fps) over erf5; the VPU pipelines cdf3's exp2+reciprocal
 # better than poly14's 14 serial FMAs.
+#
+# The default is DTYPE-GATED: cdf3's 2.6e-5 absolute error is ~100x
+# under bf16 round-off (2^-9 relative) but ABOVE fp32 parity tolerances
+# (torch-parity tests assert 2e-5 on f32), so f32 inputs — stage-1 fp32
+# training, parity tests — get erf5 while bf16/f16 serving keeps cdf3.
 _DEFAULT_GATE = _os.environ.get("VST_GEGLU_GATE", "cdf3")
+_DEFAULT_GATE_F32 = _os.environ.get("VST_GEGLU_GATE_F32", "erf5")
+
+
+def _default_gate_for(dtype) -> str:
+    if dtype == jnp.float32 or dtype == jnp.float64:
+        return _DEFAULT_GATE_F32
+    return _DEFAULT_GATE
 
 
 def geglu_projection(x, w, b, *, block_m: int = None, block_i: int = 512,
@@ -248,7 +260,7 @@ def geglu_projection(x, w, b, *, block_m: int = None, block_i: int = 512,
     if block_m is None:
         block_m = _DEFAULT_BLOCK_M
     if gate is None:
-        gate = _DEFAULT_GATE
+        gate = _default_gate_for(x.dtype)
     c = x.shape[-1]
     inner = w.shape[1] // 2
     lead = x.shape[:-1]
