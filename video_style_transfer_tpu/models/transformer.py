@@ -105,7 +105,10 @@ def transformer_2d(p, x, ctx: Tuple, *, heads: int, norm_num_groups: int,
     params."""
     n, h, w, c = x.shape
     residual = x
-    y = layers.group_norm(p["norm"], x, num_groups=norm_num_groups)
+    # diffusers Transformer2DModel hard-codes GroupNorm eps=1e-6 (the
+    # resnet norms use the config's norm_eps=1e-5 instead)
+    y = layers.group_norm(p["norm"], x, num_groups=norm_num_groups,
+                          eps=1e-6)
     y = y.reshape(n, h * w, c)
     y = layers.linear(p["proj_in"], y)
 
