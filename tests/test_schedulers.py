@@ -2,6 +2,7 @@
 roundtrips (a model that predicts the exact noise must walk the exact
 trajectory back to x0)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -159,3 +160,94 @@ def test_velocity_target_under_jit():
     v = go(x0, x0 * 0.5, jax.random.PRNGKey(0))
     assert v.shape == x0.shape
     assert bool(jnp.all(jnp.isfinite(v)))
+
+
+# ---------------------------------------------------------------------------
+# Golden fixtures (tests/fixtures/scheduler_golden.json, generated by
+# tests/fixtures/gen_scheduler_golden.py — an independent stateful numpy
+# re-derivation of the published Euler/DPM++(2M) algorithms with
+# diffusers' table conventions). These pin every convention the verdict
+# called out: leading spacing (and DPM-multistep's steps+1 ratio
+# quirk), steps_offset, sigma interpolation, init_noise_sigma, model
+# input scaling, first/final-step order handling.
+# ---------------------------------------------------------------------------
+
+import json
+import os
+
+_GOLDEN = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "scheduler_golden.json")
+
+
+def _golden():
+    with open(_GOLDEN) as f:
+        return json.load(f)
+
+
+def _toy_eps(base, x_scaled):
+    return base + 0.1 * jnp.tanh(x_scaled.mean())
+
+
+@pytest.mark.parametrize("steps", [30, 50])
+def test_euler_golden_tables(steps):
+    g = _golden()["euler"][str(steps)]
+    table = euler_timetable(make_schedule(), steps)
+    np.testing.assert_array_equal(np.asarray(table["timesteps"]),
+                                  np.float32(g["timesteps"]))
+    np.testing.assert_allclose(np.asarray(table["sigmas"]),
+                               np.asarray(g["sigmas"], np.float64),
+                               rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(float(table["init_sigma"]),
+                               g["init_noise_sigma"], rtol=2e-5)
+
+
+@pytest.mark.parametrize("steps", [30, 50])
+def test_euler_golden_trajectory(steps):
+    g = _golden()["euler"][str(steps)]
+    table = euler_timetable(make_schedule(), steps)
+    base = np.random.RandomState(123).randn(steps, int(_golden()["dim"]))
+    x = jnp.asarray(np.random.RandomState(7).randn(int(_golden()["dim"])),
+                    jnp.float32) * table["init_sigma"]
+    want = np.asarray(g["trajectory"])
+    np.testing.assert_allclose(np.asarray(x), want[0], rtol=2e-5, atol=2e-5)
+    for i in range(steps):
+        xin = scale_model_input(x, table["sigmas"][i])
+        eps = _toy_eps(jnp.asarray(base[i], jnp.float32), xin)
+        x = euler_step(x, eps, table["sigmas"][i], table["sigmas"][i + 1])
+        np.testing.assert_allclose(np.asarray(x), want[i + 1], rtol=5e-4,
+                                   atol=5e-4,
+                                   err_msg=f"euler step {i}/{steps}")
+
+
+@pytest.mark.parametrize("steps", [30, 50])
+def test_dpm_golden_tables(steps):
+    g = _golden()["dpm"][str(steps)]
+    table = dpm_timetable(make_schedule(), steps)
+    np.testing.assert_array_equal(np.asarray(table["timesteps"]),
+                                  np.float32(g["timesteps"]))
+    # the golden stores Karras sigmas; the table stores the VP pair
+    # (alpha, sigma) — convert: sigma_vp = karras / sqrt(karras^2+1)
+    kar = np.asarray(g["sigmas"], np.float64)
+    np.testing.assert_allclose(np.asarray(table["sigma"]),
+                               kar / np.sqrt(kar ** 2 + 1), rtol=2e-5,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(table["alpha"]),
+                               1 / np.sqrt(kar ** 2 + 1), rtol=2e-5)
+
+
+@pytest.mark.parametrize("steps", [30, 50])
+def test_dpm_golden_trajectory(steps):
+    g = _golden()["dpm"][str(steps)]
+    table = dpm_timetable(make_schedule(), steps)
+    base = np.random.RandomState(123).randn(steps, int(_golden()["dim"]))
+    x = jnp.asarray(np.random.RandomState(7).randn(int(_golden()["dim"])),
+                    jnp.float32)  # init_noise_sigma = 1
+    want = np.asarray(g["trajectory"])
+    carry = dpm_init_carry(x.shape)
+    for i in range(steps):
+        eps = _toy_eps(jnp.asarray(base[i], jnp.float32), x)
+        x0 = to_x0(x, eps, table["alpha"][i], table["sigma"][i])
+        x, carry = dpm_step(x, x0, carry, i, table)
+        np.testing.assert_allclose(np.asarray(x), want[i + 1], rtol=5e-4,
+                                   atol=5e-4,
+                                   err_msg=f"dpm step {i}/{steps}")

@@ -11,29 +11,50 @@ import jax.numpy as jnp
 
 
 def dpm_timetable(sched, num_inference_steps: int, *,
-                  timestep_spacing: str = "leading", steps_offset: int = 1):
+                  timestep_spacing: str = "leading", steps_offset: int = 1,
+                  final_sigma: str = "zero"):
     """Tables of shape (steps,) for conditioning timesteps and (steps+1,)
-    for the solver's alpha/sigma/lambda trajectory (terminal point:
-    alpha=1, sigma=0)."""
+    for the solver's alpha/sigma/lambda trajectory.
+
+    Conventions (pinned by tests/fixtures/scheduler_golden.json):
+      - "leading" follows diffusers' DPMSolverMultistepScheduler, which
+        divides by num_inference_steps + 1 (NOT num_inference_steps like
+        EulerDiscrete): step_ratio = T // (steps+1), timesteps =
+        (arange(steps+1) * ratio).round()[::-1][:-1] + steps_offset — so
+        e.g. 30 steps over T=1000 conditions at 961..33, never reaching
+        t=1.
+      - final_sigma="zero" ends the trajectory at (alpha=1, sigma=0) so
+        the last update returns the x0 prediction exactly (diffusers
+        final_sigmas_type="zero", the modern default; the 0.25-era
+        behavior — terminal sigma = sigma(t=0) — is final_sigma=
+        "sigma_min").
+    """
     t_max = sched["num_train_timesteps"]
     acp_full = np.asarray(sched["alphas_cumprod"], np.float64)
 
     if timestep_spacing == "leading":
-        ratio = t_max // num_inference_steps
-        timesteps = (np.arange(num_inference_steps) * ratio).round()[::-1]
+        ratio = t_max // (num_inference_steps + 1)
+        timesteps = (np.arange(num_inference_steps + 1)
+                     * ratio).round()[::-1][:-1]
         timesteps = timesteps.astype(np.int64) + steps_offset
     elif timestep_spacing == "linspace":
-        timesteps = np.linspace(0, t_max - 1, num_inference_steps) \
-            .round().astype(np.int64)[::-1]
+        timesteps = np.linspace(0, t_max - 1, num_inference_steps + 1) \
+            .round().astype(np.int64)[::-1][:-1]
     else:
         raise ValueError(timestep_spacing)
 
     acp = acp_full[np.clip(timesteps, 0, t_max - 1)]
     alpha = np.sqrt(acp)
     sigma = np.sqrt(1 - acp)
-    # terminal point: clean sample
-    alpha = np.concatenate([alpha, [1.0]])
-    sigma = np.concatenate([sigma, [0.0]])
+    if final_sigma == "zero":
+        # terminal point: clean sample
+        alpha = np.concatenate([alpha, [1.0]])
+        sigma = np.concatenate([sigma, [0.0]])
+    elif final_sigma == "sigma_min":
+        alpha = np.concatenate([alpha, [np.sqrt(acp_full[0])]])
+        sigma = np.concatenate([sigma, [np.sqrt(1 - acp_full[0])]])
+    else:
+        raise ValueError(final_sigma)
     with np.errstate(divide="ignore"):
         lam = np.log(alpha) - np.log(np.maximum(sigma, 1e-30))
     return {
