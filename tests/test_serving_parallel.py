@@ -109,3 +109,15 @@ def test_infer_video_cli_frame_parallel_validates(tmp_path):
         infer(["--smoke", "--prompt", "p", "--modes", "both",
                "--frame_parallel", "3",  # does not divide 4 smoke frames
                "--output_dir", str(tmp_path)])
+
+
+def test_infer_video_cli_frame_parallel_subdivided(tmp_path):
+    """--frame_parallel 2 with 4 smoke frames: each device holds 2
+    frames, so the decode must run its per-shard chunk-1 lax.map (the
+    shard_map path) instead of one 2-frame VAE program per device."""
+    from video_style_transfer_tpu.cli.infer_video import main as infer
+    outs = infer(["--smoke", "--prompt", "a sbu horse in szn style",
+                  "--modes", "both", "--frame_parallel", "2",
+                  "--output_dir", str(tmp_path)])
+    assert len(outs) == 1
+    assert os.path.getsize(outs[0]) > 0

@@ -58,7 +58,8 @@ def build_parser():
                    help="tensor-parallel size: shard the spatial "
                         "transformer weights over a 'model' mesh axis "
                         "(parallel/tensor.py); must divide the device "
-                        "count; remaining devices form the 'data' axis")
+                        "count; the 'data' axis is sized by --dp and "
+                        "devices beyond dp*tp are left unused")
     p.add_argument("--dp", type=int, default=1,
                    help="sample-parallel serving: generate dp images per "
                         "call (one (seed, draw) job per 'data'-axis "

@@ -212,8 +212,17 @@ def main(argv=None):
                     vae_scale_factor=bundle.vae_scale_factor)
                 lat = jax.lax.with_sharding_constraint(
                     lat, NamedSharding(mesh, P("frame")))
-                return decode_video(bundle.vae, bundle.vae_cfg, lat,
-                                    chunk=frames)
+                # decode per shard at chunk 1 (shard_map + local lax.map):
+                # a plain whole-batch decode would hand each device
+                # frames/frame_parallel frames in ONE VAE program,
+                # abandoning the measured chunk-1 activation-memory bound
+                # as soon as frame_parallel < frames
+                from jax.experimental.shard_map import shard_map
+                vcfg = bundle.vae_cfg
+                return shard_map(
+                    lambda v, z: decode_video(v, vcfg, z, chunk=1),
+                    mesh=mesh, in_specs=(P(), P("frame")),
+                    out_specs=P("frame"))(bundle.vae, lat)
 
             fparams = jax.device_put(
                 fparams, NamedSharding(mesh, P()))

@@ -47,11 +47,16 @@ def generate_latents(unet_params, unet_cfg, uncond: Conditioning,
         sched = make_schedule()
     latent_shape = (batch, height // vae_scale_factor,
                     width // vae_scale_factor, unet_cfg.in_channels)
-    if getattr(key, "ndim", 0) == 2:
-        # a (batch, 2) STACK of PRNG keys: one independent seed per row
-        # (batched serving of distinct seeds). Each row's noise is drawn
-        # with shape (1, ...) so it is bitwise-identical to a batch-1 run
-        # with that key.
+    # A STACK of PRNG keys — one independent seed per row (batched
+    # serving of distinct seeds) — is a (batch, 2) array for raw uint32
+    # keys or a (batch,)-shaped typed-key array (jax.random.key). Each
+    # row's noise is drawn with shape (1, ...) so it is bitwise-identical
+    # to a batch-1 run with that key.
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        is_stack = key.ndim == 1
+    else:
+        is_stack = key.ndim == 2
+    if is_stack:
         assert key.shape[0] == batch, (key.shape, batch)
         noise = jnp.concatenate(
             [jax.random.normal(key[i], (1,) + latent_shape[1:], dtype)
