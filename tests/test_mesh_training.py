@@ -2,6 +2,7 @@
 parallel and stage-2 frame parallel, both matching their single-device
 results (the determinism guarantee DDP cannot give)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -64,7 +65,11 @@ def test_stage1_data_parallel_matches_single():
     np.testing.assert_allclose(a, b_, rtol=1e-3, atol=1e-5)
 
 
-def test_stage2_frame_parallel_runs():
+@pytest.mark.slow
+def test_stage2_frame_parallel_matches_single():
+    """Frame-sharded stage-2 step == single-device step: loss and every
+    trainable leaf agree up to collective reduction-order round-off
+    (VERDICT r2 next #6b)."""
     cfg = UNetConfig.tiny(use_motion_modules=True)
     params = init_unet(jax.random.PRNGKey(0), cfg)
     params, lora_state = insert_unziplora(params, jax.random.PRNGKey(1),
@@ -76,7 +81,6 @@ def test_stage2_frame_parallel_runs():
     sched = make_schedule(num_train_timesteps=50)
     step = stage2.make_train_step(cfg, sched, opt, pairs, mask=mask,
                                   lora_state=lora_state, remat=False)
-    state = stage2.init_state(params, opt)
 
     b, f = 1, 8
     batch = {
@@ -87,16 +91,26 @@ def test_stage2_frame_parallel_runs():
         "pooled": jax.random.normal(jax.random.PRNGKey(5), (b, 32)),
         "time_ids": jnp.tile(jnp.array([[16., 16, 0, 0, 16, 16]]), (b, 1)),
     }
+    s_single, m_single = jax.jit(step)(stage2.init_state(params, opt),
+                                       batch, jax.random.PRNGKey(6))
+
     mesh = create_mesh(frame=8)
-    batch = dict(batch)
-    batch["latents"] = jax.device_put(
+    batch_sh = dict(batch)
+    batch_sh["latents"] = jax.device_put(
         batch["latents"], NamedSharding(mesh, P(None, "frame")))
-    state = jax.device_put(state, replicate(mesh))
+    state = jax.device_put(stage2.init_state(params, opt), replicate(mesh))
     with mesh:
-        new_state, metrics = jax.jit(step)(state, batch,
+        new_state, metrics = jax.jit(step)(state, batch_sh,
                                            jax.random.PRNGKey(6))
-    assert np.isfinite(float(metrics["loss"]))
     assert int(new_state.step) == 1
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(m_single["loss"]), rtol=1e-4)
+    for pa, pb, tr in zip(jax.tree.leaves(new_state.params),
+                          jax.tree.leaves(s_single.params),
+                          jax.tree.leaves(mask)):
+        if tr:
+            np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                       rtol=1e-3, atol=1e-5)
 
 
 def test_stage2_frozen_params_do_not_drift():
