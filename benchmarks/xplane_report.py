@@ -105,14 +105,85 @@ def categorized(path, top=25):
         print(f"{ps/1e9:8.1f} ms  {k[:150]}")
 
 
+def kloop(path, top=30):
+    """Decompose the kLoop long tail: group every kind=kLoop fusion
+    event by (a) its JAX scope (the metadata 'tf_op'/'op_name' stat the
+    trace carries for each HLO op — e.g. which named function emitted
+    it) and (b) the fused computation's root op + output shape, so the
+    1497-op tail becomes a handful of attributable buckets."""
+    xs = load_xspace(path)
+    plane = [p for p in xs.planes if 'TPU' in p.name and 'Host' not in
+             p.name][0]
+    emeta_full = {m.id: m for m in plane.event_metadata.values()}
+    smeta = {m.id: m.name for m in plane.stat_metadata.values()}
+    line = [l for l in plane.lines if l.name == 'XLA Ops'][0]
+
+    def _stat_str(stat):
+        if stat.str_value:
+            return stat.str_value
+        if stat.ref_value:
+            return smeta.get(stat.ref_value, "")
+        return ""
+
+    by_scope = collections.Counter()
+    by_shape = collections.Counter()
+    cnt_scope = collections.Counter()
+    cnt_shape = collections.Counter()
+    total = 0
+    n = 0
+    for ev in line.events:
+        meta = emeta_full.get(ev.metadata_id)
+        nm = meta.name if meta else str(ev.metadata_id)
+        if 'kind=kLoop' not in nm:
+            continue
+        total += ev.duration_ps
+        n += 1
+        # scope: prefer the per-op provenance stat if the trace has one
+        scope = None
+        stats = list(ev.stats) + (list(meta.stats) if meta else [])
+        for st in stats:
+            sname = smeta.get(st.metadata_id, "")
+            if sname in ("tf_op", "op_name", "hlo_module",
+                         "source_info"):
+                v = _stat_str(st)
+                if sname in ("tf_op", "op_name") and v:
+                    # keep the last two scope segments: enough to name
+                    # the emitting function without per-op noise
+                    scope = "/".join(v.split("/")[-3:-1]) or v
+                    break
+        if scope is None:
+            scope = "(no scope stat)"
+        # shape bucket: output dtype+shape and the fused root op
+        m = re.match(r'%\S+ = (\S+) fusion', nm)
+        out = m.group(1) if m else "?"
+        r = re.search(r'calls=%?([\w\-.]+)', nm)
+        root = r.group(1) if r else "?"
+        by_scope[scope] += ev.duration_ps
+        cnt_scope[scope] += 1
+        key = f"{out}  calls={root.rsplit('.', 1)[0]}"
+        by_shape[key] += ev.duration_ps
+        cnt_shape[key] += 1
+
+    print(f"kLoop total {total/1e9:.1f} ms across {n} events")
+    print("\nby JAX scope:")
+    for k, ps in by_scope.most_common(top):
+        print(f"{ps/1e9:8.2f} ms {cnt_scope[k]:5d}  {k[:110]}")
+    print("\nby output shape + fused computation:")
+    for k, ps in by_shape.most_common(top):
+        print(f"{ps/1e9:8.2f} ms {cnt_shape[k]:5d}  {k[:120]}")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("xplane")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--pattern", default=None)
     ap.add_argument("--categorized", action="store_true")
+    ap.add_argument("--kloop", action="store_true")
     a = ap.parse_args()
-    if a.categorized:
+    if a.kloop:
+        kloop(a.xplane, a.top)
+    elif a.categorized:
         categorized(a.xplane, a.top)
     else:
         report(a.xplane, a.top, a.pattern)

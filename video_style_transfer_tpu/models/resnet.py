@@ -60,7 +60,14 @@ def init_upsample(key, channels: int, out_channels: Optional[int] = None,
 
 
 def upsample(p, x):
-    """Nearest-neighbor 2x then 3x3 conv."""
+    """Nearest-neighbor 2x then 3x3 conv.
+
+    The 2x-nearest is a broadcast + reshape, not jax.image.resize:
+    resize('nearest') lowers to a gather that XLA emits as thousands of
+    tiny kLoop slices across the step (round-3 xplane: 5144 events,
+    ~5 ms/step); the broadcast form is one loop fusion with identical
+    values (output pixel (2i, 2i+j) <- input i for j in {0,1})."""
     n, h, w, c = x.shape
-    x = jax.image.resize(x, (n, h * 2, w * 2, c), method="nearest")
-    return layers.conv2d(p["conv"], x)
+    y = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    y = y.reshape(n, h * 2, w * 2, c)
+    return layers.conv2d(p["conv"], y)
