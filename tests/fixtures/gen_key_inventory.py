@@ -15,6 +15,15 @@ utils/hf_convert's pytree walk — tests/test_key_inventory.py checks the
 two independent encodings agree, so a naming bug in either fails there
 instead of at first real-weight load.
 
+CAVEAT (verify at first real-weight load): CLIP naming is machine-
+checked against a real transformers.CLIPTextModel (tests/test_clip.py),
+but the UNet/VAE/motion inventories are single-sourced — both encodings
+were written by the same author from memory of the diffusers structure,
+so a shared misconception would pass the agreement test. The full-UNet
+torch wiring oracle (tests/test_unet_wiring_oracle.py) pins the GRAPH
+independently; the literal diffusers key spellings still deserve one
+diff against a real checkpoint's state_dict when one is available.
+
 Run:  python tests/fixtures/gen_key_inventory.py
 """
 import os

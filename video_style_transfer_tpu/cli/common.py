@@ -49,6 +49,22 @@ class ModelBundle:
     smoke: bool = False
 
 
+def enable_compile_cache(cache_dir: Optional[str] = None):
+    """Point XLA's persistent compilation cache at a directory so repeat
+    serving/training launches skip the multi-minute SDXL trace+compile
+    (round-1 measured the full video pipeline at ~190 s cold). Called by
+    every CLI main; JAX_COMPILATION_CACHE_DIR overrides, and an explicit
+    --compilation_cache_dir argument overrides both. Safe to call twice;
+    never raises (some backends reject the option)."""
+    cache = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+             or "/tmp/jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+
 def load_models(pretrained_model: Optional[str], *, smoke: bool = False,
                 motion: bool = False, dtype=jnp.bfloat16,
                 seed: int = 0, vae_path: Optional[str] = None) -> ModelBundle:

@@ -40,6 +40,10 @@ def build_parser():
     p.add_argument("--negative_prompt_style", default=None)
     p.add_argument("--mode", default="both",
                    choices=["both", "content", "style", "base"])
+    p.add_argument("--compilation_cache_dir", default=None,
+                   help="persistent XLA compile-cache dir (default "
+                        "$JAX_COMPILATION_CACHE_DIR or /tmp/jax_cache); "
+                        "warm starts skip the multi-minute SDXL compile")
     p.add_argument("--output_dir", "--save_dir", dest="output_dir",
                    default="out/images")
     p.add_argument("--num", type=int, default=1,
@@ -81,6 +85,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     from video_style_transfer_tpu.cli import common
     from video_style_transfer_tpu.data.video_io import save_image
+    common.enable_compile_cache(args.compilation_cache_dir)
     from video_style_transfer_tpu.lora import interop
     from video_style_transfer_tpu.lora.surgery import insert_unziplora
 

@@ -44,6 +44,10 @@ def build_parser():
     p.add_argument("--modes", nargs="+",
                    default=["both", "content", "style"],
                    choices=["both", "content", "style", "base"])
+    p.add_argument("--compilation_cache_dir", default=None,
+                   help="persistent XLA compile-cache dir (default "
+                        "$JAX_COMPILATION_CACHE_DIR or /tmp/jax_cache); "
+                        "warm starts skip the multi-minute SDXL compile")
     p.add_argument("--output_dir", "--save_dir", dest="output_dir",
                    default="out/videos")
     p.add_argument("--num_frames", type=int, default=16)
@@ -80,6 +84,7 @@ def main(argv=None):
         raise SystemExit("need --prompt (or --instance_prompt)")
     from video_style_transfer_tpu.cli import common
     from video_style_transfer_tpu.data.video_io import save_video
+    common.enable_compile_cache(args.compilation_cache_dir)
     from video_style_transfer_tpu.lora import interop
     from video_style_transfer_tpu.lora.surgery import insert_unziplora
     from video_style_transfer_tpu.pipelines.video import generate_video

@@ -34,6 +34,10 @@ def build_parser():
     p.add_argument("--prompt", default=None)
     p.add_argument("--instance_prompt", default=None,
                    help="reference spelling for --prompt")
+    p.add_argument("--compilation_cache_dir", default=None,
+                   help="persistent XLA compile-cache dir (default "
+                        "$JAX_COMPILATION_CACHE_DIR or /tmp/jax_cache); "
+                        "warm starts skip the multi-minute SDXL compile")
     p.add_argument("--output_dir", default="out/animatediff")
     p.add_argument("--num_frames", type=int, default=8)
     p.add_argument("--resolution", type=int, default=1024)
@@ -101,6 +105,11 @@ def build_parser():
     p.add_argument("--checkpointing_steps", type=int, default=500)
     p.add_argument("--resume_from_checkpoint", default=None)
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--name", default="animatediff-stage2",
+                   help="tracker run/project name (reference "
+                        "train_animatediff.py:203,388)")
+    p.add_argument("--report_to", default="jsonl",
+                   choices=["jsonl", "tensorboard", "wandb"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--smoke_steps", type=int, default=None)
@@ -115,6 +124,7 @@ def main(argv=None):
     args.video_dir = args.video_dir or args.instance_data_dir
     from video_style_transfer_tpu.cli import common
     from video_style_transfer_tpu.data.video import VideoClipDataset
+    common.enable_compile_cache(args.compilation_cache_dir)
     from video_style_transfer_tpu.lora import interop
     from video_style_transfer_tpu.lora.surgery import (
         insert_temporal_lora, insert_unziplora, spatial_pairs)
@@ -243,7 +253,10 @@ def main(argv=None):
             state = ckpt.restore_checkpoint(path, state)
             print(f"resumed from {path} at step {int(state.step)}")
 
-    logger = MetricsLogger(args.output_dir)
+    logger = MetricsLogger(args.output_dir,
+                           use_tensorboard=args.report_to == "tensorboard",
+                           use_wandb=args.report_to == "wandb",
+                           project=args.name)
     timer = StepTimer()
     b = args.train_batch_size
 

@@ -49,6 +49,10 @@ def build_parser():
     p.add_argument("--instance_prompt", required=True)
     p.add_argument("--content_forward_prompt", required=True)
     p.add_argument("--style_forward_prompt", required=True)
+    p.add_argument("--compilation_cache_dir", default=None,
+                   help="persistent XLA compile-cache dir (default "
+                        "$JAX_COMPILATION_CACHE_DIR or /tmp/jax_cache); "
+                        "warm starts skip the multi-minute SDXL compile")
     p.add_argument("--output_dir", default="out/unziplora")
     p.add_argument("--name", default="unziplora")
     p.add_argument("--rank", type=int, default=64)
@@ -160,6 +164,61 @@ def build_parser():
                         "maps to bf16 (the TPU half type)")
     p.add_argument("--report_to", default="jsonl",
                    choices=["jsonl", "tensorboard", "wandb"])
+    p.add_argument("--logging_dir", default=None,
+                   help="tracker/metrics subdirectory under --output_dir "
+                        "(reference train_unziplora.py:673,1127; default: "
+                        "log straight into --output_dir)")
+    # ---- reference flags accepted as DOCUMENTED NO-OPS so the
+    # reference's launch scripts run byte-for-byte. Each is dead or
+    # environment boilerplate in the reference itself:
+    # --snr_gamma is declared (train_unziplora.py:548) but never used in
+    # the loss; --text_encoder_lr/--adam_weight_decay_text_encoder only
+    # feed the --train_text_encoder path whose injection raises
+    # NotImplementedError (:1424); --gradient_checkpointing maps to
+    # remat, which this trainer always enables (hierarchical remat,
+    # training/stage1.py); hub/caching/tracker-identity flags have no
+    # TPU-side equivalent (no hub, offline trackers).
+    p.add_argument("--snr_gamma", type=float, default=None,
+                   help="accepted for launch-script parity; the "
+                        "reference declares but never applies it")
+    p.add_argument("--gradient_checkpointing", action="store_true",
+                   help="accepted for parity; rematerialization is "
+                        "always on in this trainer")
+    p.add_argument("--text_encoder_lr", type=float, default=None,
+                   help="accepted for parity; text-encoder training is "
+                        "not part of the published method")
+    p.add_argument("--adam_weight_decay_text_encoder", type=float,
+                   default=None, help="accepted for parity (see "
+                                      "--text_encoder_lr)")
+    p.add_argument("--cache_dir", default=None,
+                   help="accepted for parity; no hub downloads here")
+    p.add_argument("--revision", default=None,
+                   help="accepted for parity; no hub downloads here")
+    p.add_argument("--push_to_hub", action="store_true",
+                   help="accepted for parity; never pushes")
+    p.add_argument("--hub_model_id", default=None,
+                   help="accepted for parity; never pushes")
+    p.add_argument("--hub_token", default=None,
+                   help="accepted for parity; never pushes")
+    p.add_argument("--dataset_name", default=None,
+                   help="accepted for parity; raises like the reference "
+                        "(train_unziplora.py:900) when set")
+    p.add_argument("--dataset_config_name", default=None,
+                   help="accepted for parity (see --dataset_name)")
+    p.add_argument("--image_column", default="image",
+                   help="accepted for parity (see --dataset_name)")
+    p.add_argument("--caption_column", default=None,
+                   help="accepted for parity (see --dataset_name)")
+    p.add_argument("--feature_prompt", default=None,
+                   help="accepted for parity; unused by the reference "
+                        "train loop")
+    p.add_argument("--entity", default=None,
+                   help="accepted for parity; wandb entity (offline "
+                        "trackers here)")
+    p.add_argument("--tags", default=None,
+                   help="accepted for parity; wandb tags")
+    p.add_argument("--wandb_dir", default=None,
+                   help="accepted for parity; wandb dir")
     p.add_argument("--smoke", action="store_true",
                    help="tiny random models, synthetic data")
     p.add_argument("--smoke_steps", type=int, default=None)
@@ -353,6 +412,12 @@ def main(argv=None):
         raise NotImplementedError(
             "--train_text_encoder is not implemented (the reference "
             "raises NotImplementedError here as well)")
+    if args.dataset_name is not None:
+        # the reference's dataset-hub path raises too
+        # (train_unziplora.py:897-900)
+        raise NotImplementedError(
+            "--dataset_name is not implemented (the reference raises "
+            "NotImplementedError here as well); use --instance_data_dir")
     if args.use_8bit_adam:
         args.optimizer = "adamw8bit"
     if not args.prodigy_decouple or not args.prodigy_use_bias_correction:
@@ -367,6 +432,7 @@ def main(argv=None):
     from video_style_transfer_tpu.cli import common
     from video_style_transfer_tpu.data.video import (
         extract_frames, load_image_dir)
+    common.enable_compile_cache(args.compilation_cache_dir)
     from video_style_transfer_tpu.lora.surgery import (
         insert_unziplora, layer_assignments)
     from video_style_transfer_tpu.schedulers.ddpm import make_schedule
@@ -518,9 +584,12 @@ def main(argv=None):
             state = ckpt.restore_checkpoint(path, state)
             print(f"resumed from {path} at step {int(state.step)}")
 
-    logger = MetricsLogger(args.output_dir,
+    log_dir = (os.path.join(args.output_dir, args.logging_dir)
+               if args.logging_dir else args.output_dir)
+    logger = MetricsLogger(log_dir,
                            use_tensorboard=args.report_to == "tensorboard",
-                           use_wandb=args.report_to == "wandb")
+                           use_wandb=args.report_to == "wandb",
+                           project=args.name)
     timer = StepTimer()
     # with accumulation, one optimizer step consumes accum micro-batches
     # of --train_batch_size rows each; leaves are built flat then
