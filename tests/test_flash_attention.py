@@ -244,3 +244,78 @@ class TestFusedQkv:
                         v.reshape(b, s, h, d)).reshape(b, s, h * d)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-5)
+
+
+class TestSinglePass:
+    """The scratch-free single-kv-block kernel (_attn_kernel_packed_single)
+    must be BITWISE identical to the general online-softmax kernel at
+    nk == 1 — at one kv block the general kernel's correction factor is
+    exactly 0 and both paths execute the same op sequence."""
+
+    def _fwd(self, fn, *args, multipass: bool, **kw):
+        import os
+        old = os.environ.get("VST_FLASH_MULTIPASS")
+        os.environ["VST_FLASH_MULTIPASS"] = "1" if multipass else "0"
+        try:
+            return fn(*args, **kw)
+        finally:
+            if old is None:
+                del os.environ["VST_FLASH_MULTIPASS"]
+            else:
+                os.environ["VST_FLASH_MULTIPASS"] = old
+
+    @pytest.mark.parametrize("b,s,h,d,dtype", [
+        (2, 256, 2, 64, jnp.float32),
+        (2, 256, 4, 64, jnp.bfloat16),   # serving dtype, packed heads
+        (1, 200, 2, 64, jnp.float32),    # ragged q blocks (block_q=128)
+    ])
+    def test_single_pass_matches_general(self, b, s, h, d, dtype):
+        from video_style_transfer_tpu.ops.flash_attention import (
+            _flash_fwd_bs_hd)
+        q = _rand((b, s, h * d), 50, dtype)
+        k = _rand((b, s, h * d), 51, dtype)
+        v = _rand((b, s, h * d), 52, dtype)
+        kw = dict(num_heads=h, scale=0.125, block_q=128, block_k=s)
+        o1, lse1 = self._fwd(_flash_fwd_bs_hd, q, k, v,
+                             multipass=False, **kw)
+        o2, lse2 = self._fwd(_flash_fwd_bs_hd, q, k, v,
+                             multipass=True, **kw)
+        assert np.array_equal(np.asarray(o1, np.float32),
+                              np.asarray(o2, np.float32))
+        assert np.array_equal(np.asarray(lse1), np.asarray(lse2))
+
+    def test_single_pass_matches_general_fused_qkv(self):
+        from video_style_transfer_tpu.ops.flash_attention import (
+            _flash_fwd_qkv_packed)
+        b, s, h, d = 2, 256, 2, 64
+        qkv = _rand((b, s, 3 * h * d), 53, jnp.bfloat16)
+        kw = dict(num_heads=h, scale=0.125, block_q=128, block_k=s)
+        o1, lse1 = self._fwd(_flash_fwd_qkv_packed, qkv,
+                             multipass=False, **kw)
+        o2, lse2 = self._fwd(_flash_fwd_qkv_packed, qkv,
+                             multipass=True, **kw)
+        assert np.array_equal(np.asarray(o1, np.float32),
+                              np.asarray(o2, np.float32))
+        assert np.array_equal(np.asarray(lse1), np.asarray(lse2))
+
+    def test_single_pass_vpu_rowsum_mode(self):
+        """The VPU-rowsum A/B mode must agree with XLA on the
+        single-pass path too."""
+        import os
+        from video_style_transfer_tpu.ops.flash_attention import (
+            _flash_fwd_bs_hd)
+        b, s, h, d = 1, 128, 2, 64
+        q = _rand((b, s, h * d), 54)
+        k = _rand((b, s, h * d), 55)
+        v = _rand((b, s, h * d), 56)
+        os.environ["VST_FLASH_VPU_ROWSUM"] = "1"
+        try:
+            got, _ = _flash_fwd_bs_hd(q, k, v, num_heads=h, scale=0.125,
+                                      block_q=128, block_k=s)
+        finally:
+            del os.environ["VST_FLASH_VPU_ROWSUM"]
+        want = sdpa_xla(q.reshape(b, s, h, d), k.reshape(b, s, h, d),
+                        v.reshape(b, s, h, d),
+                        scale=0.125).reshape(b, s, h * d)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5)

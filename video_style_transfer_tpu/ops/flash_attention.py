@@ -250,6 +250,55 @@ def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
                              + jnp.log2(denom[:, 0])) * (1.0 / LOG2E)
 
 
+def _attn_kernel_packed_single(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                               scale: float, head_dim: int, pack: int):
+    """Single-kv-block specialization of `_attn_kernel_packed` for
+    nk == 1 — the default serving configuration since block_k covers the
+    whole sequence (S <= 4096 at every SDXL attention site). With one kv
+    block the online-softmax machinery degenerates (m_prev is NEG_INF,
+    the correction factor is exactly 0), so the running max /
+    denominator / output-accumulator VMEM scratch and their
+    init+finalize grid passes vanish: softmax lives in registers and o
+    is stored exactly once. Bitwise-identical outputs to the general
+    kernel at nk == 1 (same op order; tested in
+    tests/test_flash_attention.py::test_single_pass_matches_general)."""
+    q = q_ref[0] * (scale * LOG2E)     # (bq, pack*d)
+    k = k_ref[0]                       # (sk, pack*d)
+    v = v_ref[0]                       # (sk, pack*d)
+
+    # no kv-tail masking: block_k == kv_seq exactly (see caller gate)
+    import os
+    mxu_rowsum = (2 * head_dim <= 128
+                  and os.environ.get("VST_FLASH_VPU_ROWSUM") != "1")
+
+    for t in range(pack):
+        sl = slice(t * head_dim, (t + 1) * head_dim)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (bq, sk)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        if mxu_rowsum:
+            # see the general kernel's comment: p @ [v | 1] folds the
+            # denominator row-sum into the MXU matmul
+            v_t = v[:, sl]
+            vaug = jnp.concatenate([v_t, jnp.ones_like(v_t)], axis=1)
+            pv2 = jax.lax.dot_general(
+                p.astype(v.dtype), vaug, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (bq, 2d)
+            pv = pv2[:, :head_dim]
+            rowsum = pv2[:, head_dim:head_dim + 1]
+        else:
+            rowsum = jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        denom = jnp.where(rowsum == 0.0, 1.0, rowsum)
+        o_ref[0, :, sl] = (pv / denom).astype(o_ref.dtype)
+        lse_ref[0, t] = (m[:, 0]
+                         + jnp.log2(denom[:, 0])) * (1.0 / LOG2E)
+
+
 def _flash_fwd_bs_hd(q, k, v, *, num_heads: int, scale: float,
                      block_q: int, block_k: int, interpret=None):
     """q: (B, Sq, H*D); k/v: (B, Sk, H*D) -> ((B, Sq, H*D) out,
@@ -267,8 +316,43 @@ def _flash_fwd_bs_hd(q, k, v, *, num_heads: int, scale: float,
     nq = pl.cdiv(sq, block_q)
     nk = pl.cdiv(sk, block_k)
 
-    grid = (b, hp, nq, nk)
     lane = pack * d
+    out_shape = [
+        jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
+        jax.ShapeDtypeStruct((b * hp, pack, sq), jnp.float32),
+    ]
+    cost = pl.CostEstimate(
+        flops=4 * b * num_heads * sq * sk * d,
+        bytes_accessed=2 * b * (2 * sq + 2 * sk) * hd,
+        transcendentals=b * num_heads * sq * sk)
+
+    if nk == 1 and _os.environ.get("VST_FLASH_MULTIPASS") != "1":
+        # whole kv sequence in one block (block_k == sk): scratch-free
+        # single-pass kernel; VST_FLASH_MULTIPASS=1 forces the general
+        # path for A/B
+        return pl.pallas_call(
+            functools.partial(_attn_kernel_packed_single, scale=scale,
+                              head_dim=d, pack=pack),
+            grid=(b, hp, nq),
+            in_specs=[
+                pl.BlockSpec((1, block_q, lane), lambda b, h, i: (b, i, h)),
+                pl.BlockSpec((1, block_k, lane), lambda b, h, i: (b, 0, h)),
+                pl.BlockSpec((1, block_k, lane), lambda b, h, i: (b, 0, h)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, lane), lambda b, h, i: (b, i, h)),
+                pl.BlockSpec((1, pack, block_q),
+                             lambda b, h, i, _hp=hp: (b * _hp + h, 0, i)),
+            ],
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel"),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(q, k, v)
+
+    grid = (b, hp, nq, nk)
     return pl.pallas_call(
         functools.partial(_attn_kernel_packed, scale=scale, kv_seq=sk,
                           block_k=block_k, head_dim=d, pack=pack),
@@ -285,10 +369,7 @@ def _flash_fwd_bs_hd(q, k, v, *, num_heads: int, scale: float,
             pl.BlockSpec((1, pack, block_q),
                          lambda b, h, i, j, _hp=hp: (b * _hp + h, 0, i)),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
-            jax.ShapeDtypeStruct((b * hp, pack, sq), jnp.float32),
-        ],
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),   # running max
             pltpu.VMEM((block_q, 128), jnp.float32),   # running denom
@@ -298,10 +379,7 @@ def _flash_fwd_bs_hd(q, k, v, *, num_heads: int, scale: float,
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * num_heads * sq * sk * d,
-            bytes_accessed=2 * b * (2 * sq + 2 * sk) * hd,
-            transcendentals=b * num_heads * sq * sk),
+        cost_estimate=cost,
         interpret=interpret,
     )(q, k, v)
 
@@ -330,8 +408,43 @@ def _flash_fwd_qkv_packed(qkv, *, num_heads: int, scale: float,
     nq = pl.cdiv(sq, block_q)
     nk = pl.cdiv(sk, block_k)
 
-    grid = (b, hp, nq, nk)
     lane = pack * d
+    out_shape = [
+        jax.ShapeDtypeStruct((b, sq, hd), qkv.dtype),
+        jax.ShapeDtypeStruct((b * hp, pack, sq), jnp.float32),
+    ]
+    cost = pl.CostEstimate(
+        flops=4 * b * num_heads * sq * sk * d,
+        bytes_accessed=2 * b * (3 * sq + sq) * hd,
+        transcendentals=b * num_heads * sq * sk)
+
+    if nk == 1 and _os.environ.get("VST_FLASH_MULTIPASS") != "1":
+        # scratch-free single-pass kernel (see _flash_fwd_bs_hd)
+        return pl.pallas_call(
+            functools.partial(_attn_kernel_packed_single, scale=scale,
+                              head_dim=d, pack=pack),
+            grid=(b, hp, nq),
+            in_specs=[
+                pl.BlockSpec((1, block_q, lane), lambda b, h, i: (b, i, h)),
+                pl.BlockSpec((1, block_k, lane),
+                             lambda b, h, i, _hp=hp: (b, 0, _hp + h)),
+                pl.BlockSpec((1, block_k, lane),
+                             lambda b, h, i, _hp=hp: (b, 0, 2 * _hp + h)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, lane), lambda b, h, i: (b, i, h)),
+                pl.BlockSpec((1, pack, block_q),
+                             lambda b, h, i, _hp=hp: (b * _hp + h, 0, i)),
+            ],
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel"),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(qkv, qkv, qkv)
+
+    grid = (b, hp, nq, nk)
     return pl.pallas_call(
         functools.partial(_attn_kernel_packed, scale=scale, kv_seq=sk,
                           block_k=block_k, head_dim=d, pack=pack),
@@ -351,10 +464,7 @@ def _flash_fwd_qkv_packed(qkv, *, num_heads: int, scale: float,
             pl.BlockSpec((1, pack, block_q),
                          lambda b, h, i, j, _hp=hp: (b * _hp + h, 0, i)),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, sq, hd), qkv.dtype),
-            jax.ShapeDtypeStruct((b * hp, pack, sq), jnp.float32),
-        ],
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -364,10 +474,7 @@ def _flash_fwd_qkv_packed(qkv, *, num_heads: int, scale: float,
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * num_heads * sq * sk * d,
-            bytes_accessed=2 * b * (3 * sq + sq) * hd,
-            transcendentals=b * num_heads * sq * sk),
+        cost_estimate=cost,
         interpret=interpret,
     )(qkv, qkv, qkv)
 
