@@ -36,6 +36,7 @@ def test_rotation(tmp_path):
     assert "checkpoint-2" in names and "checkpoint-3" in names
 
 
+@pytest.mark.slow
 def test_stage1_artifacts(tmp_path):
     cfg = UNetConfig.tiny()
     params = init_unet(jax.random.PRNGKey(0), cfg)

@@ -4,6 +4,7 @@ pushed through the same optimizer (Accelerate's accumulate() semantics,
 reference train_unziplora.py:2010-2181 / train_animatediff.py:314-319)."""
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 import optax
 
@@ -14,6 +15,10 @@ from video_style_transfer_tpu.lora.surgery import (
 from video_style_transfer_tpu.models.unet import init_unet
 from video_style_transfer_tpu.schedulers.ddpm import make_schedule
 from video_style_transfer_tpu.training import stage1, stage2
+
+# both oracles re-compile a full scanned-accumulation train step —
+# minutes of CPU XLA compile; full-tier only
+pytestmark = pytest.mark.slow
 
 
 def _micro_batch(cfg, seed, b=1):

@@ -168,6 +168,7 @@ def test_stage2_frozen_params_do_not_drift():
     assert changed_trainable > 0
 
 
+@pytest.mark.slow
 def test_stage2_cfg_dropout_swaps_ctx_and_pooled():
     """cfg_dropout=1.0 must reproduce the loss computed directly with the
     uncond embeddings (the reference swaps BOTH encoder_hidden_states and

@@ -97,6 +97,7 @@ def test_remat_matches(tiny):
                                    atol=1e-6)
 
 
+@pytest.mark.slow
 def test_remat_policies_same_gradients(tiny):
     """Checkpoint policies must be value/grad-neutral: every remat
     level (inner, component, and both level-split variants) produces
@@ -122,6 +123,7 @@ def test_remat_policies_same_gradients(tiny):
             g0, g1)
 
 
+@pytest.mark.slow
 def test_cfg_doubled_video_batch_independence():
     """Temporal attention must not mix the uncond and cond halves of a
     CFG-doubled video batch: running the doubled batch equals running

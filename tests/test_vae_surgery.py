@@ -1,6 +1,7 @@
 """VAE shape tests + LoRA surgery tests on the tiny UNet."""
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from video_style_transfer_tpu.config import UNetConfig, VAEConfig
@@ -205,6 +206,7 @@ def test_fold_partial_keeps_cross_kv_dynamic():
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fold_unziplora_bf16():
     """bf16 production folding: weight-level fold vs dynamic fp32-branch
     path within bf16 rounding tolerance (the reference's _fuse_lora does

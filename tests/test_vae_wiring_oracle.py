@@ -127,8 +127,9 @@ def torch_decode(p, cfg: VAEConfig, z):
     # 3-level asymmetric topology: distinct per-level channels exercise
     # the first-resnet conv_shortcut at every level boundary and two
     # down/upsamplers
-    (VAEConfig.tiny(block_out_channels=(8, 16, 32), layers_per_block=2,
-                    norm_num_groups=4), 1),
+    pytest.param(VAEConfig.tiny(block_out_channels=(8, 16, 32),
+                                layers_per_block=2, norm_num_groups=4), 1,
+                 marks=pytest.mark.slow),
 ])
 def test_vae_decode_wiring(cfg, seed):
     params = init_vae(jax.random.PRNGKey(seed), cfg)
@@ -145,8 +146,9 @@ def test_vae_decode_wiring(cfg, seed):
 
 @pytest.mark.parametrize("cfg,seed", [
     (VAEConfig.tiny(), 2),
-    (VAEConfig.tiny(block_out_channels=(8, 16, 32), layers_per_block=2,
-                    norm_num_groups=4), 3),
+    pytest.param(VAEConfig.tiny(block_out_channels=(8, 16, 32),
+                                layers_per_block=2, norm_num_groups=4), 3,
+                 marks=pytest.mark.slow),
 ])
 def test_vae_encode_wiring(cfg, seed):
     params = init_vae(jax.random.PRNGKey(seed), cfg)
