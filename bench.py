@@ -287,7 +287,8 @@ def build_text_encode(tiny: bool):
     return execute
 
 
-def build_decode(tiny: bool, frames: int, res: int, chunk: int = 1):
+def build_decode(tiny: bool, frames: int, res: int, chunk: int = 1,
+                 dtype=None):
     """fp32 per-frame VAE decode in per-chunk calls (the tunnel kills
     single executions > ~1 min; chunked calls are both the production
     memory shape AND watchdog-safe). chunk 1 measured FASTEST per frame
@@ -312,10 +313,12 @@ def build_decode(tiny: bool, frames: int, res: int, chunk: int = 1):
     # chip — far under the ~1-min execution watchdog).
     per_call = max(4 // chunk, 1)
 
+    dtype = dtype or jnp.float32
+
     @jax.jit
     def dec(vp_, zs):
         out = jax.lax.map(
-            lambda z: jnp.sum(decode_images(vp_, vcfg, z)
+            lambda z: jnp.sum(decode_images(vp_, vcfg, z, dtype=dtype)
                               .astype(jnp.float32)), zs)
         return jnp.sum(out)
 
@@ -380,6 +383,12 @@ def main():
                          "inside the program; amortizes the tunnel's "
                          "~28.5 ms RPC floor; default 5, must divide "
                          "--steps; 1 restores the per-step protocol)")
+    ap.add_argument("--decode_dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="VAE decode dtype; float32 (default) is the "
+                         "reference-parity headline protocol, bfloat16 "
+                         "measures the opt-in fast decode (--vae_dtype "
+                         "on the CLIs)")
     ap.add_argument("--denoise_only", action="store_true",
                     help="video: emit the denoise-only fps metric instead "
                          "of the measured end-to-end (text-encode + "
@@ -432,7 +441,8 @@ def main():
         del execute
         import gc
         gc.collect()
-        decode_s = timed(build_decode(args.tiny, args.batch, args.res),
+        decode_s = timed(build_decode(args.tiny, args.batch, args.res,
+                                      dtype=jnp.dtype(args.decode_dtype)),
                          seed + 202)
         e2e_s = text_s + denoise_s + decode_s
         per_image = e2e_s / args.batch
@@ -485,13 +495,16 @@ def main():
     del execute
     import gc
     gc.collect()
-    decode_s = timed(build_decode(args.tiny, args.frames, args.res),
+    decode_s = timed(build_decode(args.tiny, args.frames, args.res,
+                                  dtype=jnp.dtype(args.decode_dtype)),
                      seed + 202)
     e2e_s = text_s + denoise_s + decode_s
     projected_v5e8_s = text_s + (denoise_s + decode_s) / 8
+    dd = ("" if args.decode_dtype == "float32"
+          else f"_decode_{args.decode_dtype}")
     rec = {
         "metric": f"animatediffxl_video_e2e_{args.frames}f_{args.res}px_"
-                  f"{args.steps}step_fps_per_chip",
+                  f"{args.steps}step{dd}_fps_per_chip",
         "value": round(args.frames / e2e_s, 4),
         "unit": "frames/sec/chip",
         "vs_baseline": round(20.0 / max(projected_v5e8_s, 1e-9), 4),
@@ -500,7 +513,7 @@ def main():
                          "vae_decode": round(decode_s, 3)},
         "projected_v5e8_s": round(projected_v5e8_s, 3),
     }
-    if not args.tiny:
+    if not args.tiny and args.decode_dtype == "float32":
         with open(LAST_RESULT, "w") as f:
             json.dump(rec, f)
     print(json.dumps(rec))

@@ -59,17 +59,28 @@ def main():
     if not files:
         return
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-    for tool in ["framework_op_stats", "op_profile"]:
-        try:
+    try:
+        # tensorboard_plugin_profile's generated protos are incompatible
+        # with the installed protobuf (Descriptors error); the repo's own
+        # parser below is the supported path — this branch is best-effort
+        from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+        for tool in ["framework_op_stats", "op_profile"]:
             data, _ = rtd.xspace_to_tool_data(files, tool, {})
             out = os.path.join(logdir, tool + ".json")
             with open(out, "wb") as f:
                 f.write(data if isinstance(data, bytes)
                         else data.encode())
             print(f"wrote {out} ({os.path.getsize(out)} bytes)")
-        except Exception as e:
-            print(f"{tool}: failed: {e!r}")
+    except Exception as e:
+        print(f"tensorboard_plugin_profile unavailable ({e!r}); "
+              f"falling back to benchmarks/xplane_report.py")
+        import subprocess
+        subprocess.run([sys.executable,
+                        os.path.join(os.path.dirname(
+                            os.path.abspath(__file__)),
+                            "xplane_report.py"),
+                        files[0], "--categorized", "--top", str(args.top)],
+                       check=False)
 
 
 if __name__ == "__main__":

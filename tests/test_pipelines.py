@@ -158,3 +158,29 @@ def test_per_stream_negative_conditioning():
     n2 = common.negative_conditioning(bundle, "bad", height=16, width=16)
     np.testing.assert_array_equal(np.asarray(n2.ctx[0]),
                                   np.asarray(n2.ctx[1]))
+
+
+def test_decode_bf16_close_to_fp32():
+    """The opt-in bf16 VAE decode (cli --vae_dtype bfloat16) must agree
+    with the fp32 parity path to within bf16 mantissa noise in uint8
+    pixel space, and must produce no overflow artifacts (bf16 shares
+    fp32's exponent range — the fp16 failure mode the reference guards
+    against cannot occur)."""
+    import numpy as np
+    from video_style_transfer_tpu.config import VAEConfig
+    from video_style_transfer_tpu.models.vae import init_vae
+    from video_style_transfer_tpu.pipelines.image import decode_images
+
+    cfg = VAEConfig.tiny()
+    vp = init_vae(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4),
+                          jnp.float32)
+    a = np.asarray(decode_images(vp, cfg, z), np.int32)
+    b = np.asarray(decode_images(vp, cfg, z, dtype=jnp.bfloat16), np.int32)
+    assert a.shape == b.shape and a.dtype == b.dtype == np.int32
+    diff = np.abs(a - b)
+    # bf16 rel err 2^-9 over a [-1,1] output -> a few uint8 counts; the
+    # bound is loose to stay seed-robust but tight enough to catch a
+    # wrong-scale or overflowed decode outright
+    assert diff.mean() < 3.0, diff.mean()
+    assert np.percentile(diff, 99) < 16, np.percentile(diff, 99)

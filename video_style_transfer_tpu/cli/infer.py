@@ -56,6 +56,12 @@ def build_parser():
                    help="defaults to --resolution")
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--sampler", default="euler", choices=["euler", "dpm"])
+    p.add_argument("--vae_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="VAE decode dtype: float32 (default, reference "
+                        "parity) or bfloat16 (TPU fast decode; bf16 has "
+                        "fp32's exponent range so the fp16 overflow the "
+                        "reference guards against cannot occur)")
     p.add_argument("--seeds", type=int, nargs="+",
                    default=[0, 1000, 111, 1234])
     p.add_argument("--tp", type=int, default=1,
@@ -189,7 +195,8 @@ def main(argv=None):
         if dp > 1:
             lat = jax.lax.with_sharding_constraint(
                 lat, NamedSharding(mesh, P("data")))
-        return decode_images(bundle.vae, bundle.vae_cfg, lat)
+        return decode_images(bundle.vae, bundle.vae_cfg, lat,
+                             dtype=jnp.dtype(args.vae_dtype))
 
     run = jax.jit(_gen)
 

@@ -62,7 +62,15 @@ def build_parser():
     p.add_argument("--mixed_precision", default="bf16",
                    choices=["no", "bf16", "fp16"],
                    help="UNet compute dtype; fp16 maps to bf16 (the TPU "
-                        "half type); the VAE decode is always fp32")
+                        "half type); the VAE decode dtype is --vae_dtype")
+    p.add_argument("--vae_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="VAE decode dtype. float32 (default) is the "
+                        "reference-parity path; bfloat16 is the "
+                        "TPU-native fast decode — bf16 keeps fp32's "
+                        "exponent range, so the fp16 overflow that "
+                        "forced the reference to fp32 cannot occur "
+                        "(pixel noise sub-1% of range; PERF.md)")
     p.add_argument("--fps", type=int, default=8)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--frame_parallel", type=int, default=1,
@@ -197,7 +205,8 @@ def main(argv=None):
                     num_steps=steps, cfg_scale=args.guidance_scale,
                     mode=m, state=state, dtype=dtype,
                     decode_chunk=1 if not args.smoke else frames,
-                    vae_scale_factor=bundle.vae_scale_factor)
+                    vae_scale_factor=bundle.vae_scale_factor,
+                    decode_dtype=jnp.dtype(args.vae_dtype))
         else:
             # the production multi-chip layout (__graft_entry__'s serving
             # dryrun): frame-sharded denoise + frame-sharded fp32 decode
@@ -224,8 +233,10 @@ def main(argv=None):
                 # as soon as frame_parallel < frames
                 from jax.experimental.shard_map import shard_map
                 vcfg = bundle.vae_cfg
+                ddt = jnp.dtype(args.vae_dtype)
                 return shard_map(
-                    lambda v, z: decode_video(v, vcfg, z, chunk=1),
+                    lambda v, z: decode_video(v, vcfg, z, chunk=1,
+                                              dtype=ddt),
                     mesh=mesh, in_specs=(P(), P("frame")),
                     out_specs=P("frame"))(bundle.vae, lat)
 

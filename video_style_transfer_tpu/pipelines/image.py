@@ -80,16 +80,26 @@ def generate_latents(unet_params, unet_cfg, uncond: Conditioning,
     raise ValueError(sampler)
 
 
-def decode_images(vae_params, vae_cfg, latents):
-    """fp32-upcast VAE decode (the reference forces fp32 decode,
-    pipeline_stable_diffusion_xl.py:628-649) -> uint8 HWC images.
+def decode_images(vae_params, vae_cfg, latents, *, dtype=jnp.float32):
+    """VAE decode -> uint8 HWC images. Default fp32 matches the
+    reference, which forces fp32 decode because the SDXL VAE overflows
+    fp16's range (pipeline_stable_diffusion_xl.py:628-649).
+
+    dtype=jnp.bfloat16 is the TPU-native opt-in speed knob
+    (cli --vae_dtype bfloat16): bf16 keeps fp32's exponent range, so the
+    fp16 overflow that forced the reference to fp32 cannot occur; the
+    cost is bf16 mantissa noise in the decoded pixels (sub-1% of range,
+    measured in tests/test_pipelines.py::test_decode_bf16_close_to_fp32
+    and PERF.md round-3). Not the default: fp32 is the parity path.
 
     Note: the reference stamps SDXL's invisible watermark at postprocess
     when the `invisible-watermark` package is installed; the native
     equivalent is utils/watermark.py (host-side uint8 pass, applied by
     cli/infer.py --watermark outside this jitted program)."""
-    imgs = vae_decode(vae_params, vae_cfg, latents.astype(jnp.float32))
-    imgs = jnp.clip(imgs / 2 + 0.5, 0.0, 1.0)
+    if dtype != jnp.float32:
+        vae_params = jax.tree.map(lambda a: a.astype(dtype), vae_params)
+    imgs = vae_decode(vae_params, vae_cfg, latents.astype(dtype))
+    imgs = jnp.clip(imgs.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
     return jnp.round(imgs * 255.0).astype(jnp.uint8)
 
 

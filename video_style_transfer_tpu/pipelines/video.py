@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import functools
 import math
 
 import jax
@@ -43,16 +44,19 @@ def generate_video_latents(unet_params, unet_cfg, uncond: Conditioning,
         vae_scale_factor=vae_scale_factor)
 
 
-def decode_video(vae_params, vae_cfg, latents, *, chunk: int = 1):
+def decode_video(vae_params, vae_cfg, latents, *, chunk: int = 1,
+                 dtype=jnp.float32):
     """Per-frame fp32 VAE decode (reference inference_animatediff.py:
     136-144 decodes frame-by-frame in fp32). Chunked lax.map bounds the
     1024^2 decoder's activation memory on one chip; under a mesh the
     frame axis shards instead. chunk 1 default: measured 1.66x faster
     per frame than chunk 2 on v5e (XLA's space-to-batch lowering of the
-    big-spatial decoder convs tiles best at N=1)."""
+    big-spatial decoder convs tiles best at N=1). dtype=jnp.bfloat16 is
+    the opt-in fast decode (see pipelines/image.py decode_images)."""
+    dec = functools.partial(decode_images, dtype=dtype)
     f = latents.shape[0]
     if chunk >= f:
-        return decode_images(vae_params, vae_cfg, latents)
+        return dec(vae_params, vae_cfg, latents)
     if f % chunk != 0:
         # ragged frame counts (e.g. 14 frames, chunk 4): fall back to the
         # largest divisor so a full denoise is never discarded on an
@@ -60,11 +64,11 @@ def decode_video(vae_params, vae_cfg, latents, *, chunk: int = 1):
         chunk = math.gcd(f, chunk)
         if chunk == 1:
             return jax.lax.map(
-                lambda z: decode_images(vae_params, vae_cfg, z[None])[0],
+                lambda z: dec(vae_params, vae_cfg, z[None])[0],
                 latents)
     chunks = latents.reshape(f // chunk, chunk, *latents.shape[1:])
     out = jax.lax.map(
-        lambda z: decode_images(vae_params, vae_cfg, z), chunks)
+        lambda z: dec(vae_params, vae_cfg, z), chunks)
     return out.reshape(f, *out.shape[2:])
 
 
@@ -74,11 +78,13 @@ def generate_video(unet_params, unet_cfg, vae_params, vae_cfg,
                    width: int = 1024, num_steps: int = 30,
                    cfg_scale: float = 7.5, mode: str = "both", state=None,
                    impl: str = "auto", dtype=jnp.bfloat16,
-                   decode_chunk: int = 1, vae_scale_factor: int = 8):
+                   decode_chunk: int = 1, vae_scale_factor: int = 8,
+                   decode_dtype=jnp.float32):
     """Full video program: returns (F, H, W, 3) uint8 frames."""
     latents = generate_video_latents(
         unet_params, unet_cfg, uncond, cond, key, num_frames=num_frames,
         height=height, width=width, num_steps=num_steps,
         cfg_scale=cfg_scale, mode=mode, state=state, impl=impl, dtype=dtype,
         vae_scale_factor=vae_scale_factor)
-    return decode_video(vae_params, vae_cfg, latents, chunk=decode_chunk)
+    return decode_video(vae_params, vae_cfg, latents, chunk=decode_chunk,
+                        dtype=decode_dtype)
