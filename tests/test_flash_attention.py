@@ -319,3 +319,60 @@ class TestSinglePass:
                         scale=0.125).reshape(b, s, h * d)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-5)
+
+
+class TestFusedBwd:
+    """The fused dq+dk+dv backward kernel (nk == 1) must be BITWISE
+    identical to the split dq / dkv kernels: it uses the same
+    _recompute_p_ds helper and accumulation order, recomputing p/ds once
+    instead of twice."""
+
+    def _grads(self, split: bool, b=2, sq=300, sk=256, d=64,
+               dtype=jnp.bfloat16):
+        import os
+        from video_style_transfer_tpu.ops.flash_attention import (
+            _flash_bwd_bhsd, _flash_fwd_bhsd)
+        q = _rand((b, sq, d), 60, dtype)
+        k = _rand((b, sk, d), 61, dtype)
+        v = _rand((b, sk, d), 62, dtype)
+        do = _rand((b, sq, d), 63, dtype)
+        o, lse = _flash_fwd_bhsd(q, k, v, scale=0.125, block_q=128,
+                                 block_k=sk)
+        old = os.environ.get("VST_FLASH_SPLIT_BWD")
+        os.environ["VST_FLASH_SPLIT_BWD"] = "1" if split else "0"
+        try:
+            return _flash_bwd_bhsd(q, k, v, do, o, lse, scale=0.125,
+                                   block_q=128, block_k=sk)
+        finally:
+            if old is None:
+                del os.environ["VST_FLASH_SPLIT_BWD"]
+            else:
+                os.environ["VST_FLASH_SPLIT_BWD"] = old
+
+    def test_fused_matches_split_bitwise(self):
+        # ragged q blocks (300 % 128 != 0) exercise the q-tail masking
+        dq1, dk1, dv1 = self._grads(split=False)
+        dq2, dk2, dv2 = self._grads(split=True)
+        for a, b_ in ((dq1, dq2), (dk1, dk2), (dv1, dv2)):
+            assert np.array_equal(np.asarray(a, np.float32),
+                                  np.asarray(b_, np.float32))
+
+    def test_gradients_still_match_xla(self):
+        """End-to-end grad check through the public API at an nk == 1
+        shape (the fused kernel's dispatch condition)."""
+        q = _rand((1, 256, 2, 64), 64)
+        k = _rand((1, 256, 2, 64), 65)
+        v = _rand((1, 256, 2, 64), 66)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, block_q=128,
+                                           block_k=256) ** 2)
+
+        def loss_xla(q, k, v):
+            return jnp.sum(sdpa_xla(q, k, v) ** 2)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gf, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-3, atol=2e-4)

@@ -593,6 +593,57 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
+def _dqkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                 dk_ref, dv_ref, dk_acc, dv_acc, *, scale, kv_seq,
+                 block_k, q_seq, block_q):
+    """Fused dq+dk+dv for nk == 1 (the production configuration: one kv
+    block covers the sequence). The split kernels each recompute p / dp
+    / ds per (q, kv) block pair — at nk == 1 that is exactly twice the
+    recompute work (two K=64 MXU matmuls and an EUP exp pass each).
+    Here the grid iterates q blocks once: dq[i] = ds k is complete per
+    iteration (kv is whole) and stores directly; dk/dv accumulate in
+    scratch across q blocks. Bitwise-identical to the split kernels at
+    nk == 1 (same helpers, same op order; tested in
+    tests/test_flash_attention.py::TestFusedBwd)."""
+    i = pl.program_id(1)
+    nq = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    p, ds = _recompute_p_ds(
+        q_ref[0], k_ref[0], v_ref[0], do_ref[0], lse_ref[0, 0],
+        delta_ref[0, 0], scale=scale, kv_seq=kv_seq, block_k=block_k,
+        q_seq=q_seq, block_q=block_q, i=i, j=0)
+
+    # nk == 1 -> kv_seq % block_k == 0: k needs no tail mask (see the
+    # split dq kernel's masked branch)
+    dq_ref[0] = jax.lax.dot_general(
+        ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+
+    q_blk = q_ref[0]
+    do_blk = do_ref[0]
+    if q_seq % block_q != 0:
+        q_tail = q_seq - i * block_q
+        rowq = jax.lax.broadcasted_iota(jnp.int32, q_blk.shape, 0)
+        q_blk = jnp.where(rowq < q_tail, q_blk, 0)
+        do_blk = jnp.where(rowq < q_tail, do_blk, 0)
+    dv_acc[:] += jax.lax.dot_general(
+        p.astype(do_blk.dtype), do_blk, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dk_acc[:] += jax.lax.dot_general(
+        ds.astype(q_blk.dtype), q_blk, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i == nq - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
 def _flash_bwd_bhsd(q, k, v, do, o, lse, *, scale, block_q, block_k,
                     interpret=None):
     if interpret is None:
@@ -605,6 +656,37 @@ def _flash_bwd_bhsd(q, k, v, do, o, lse, *, scale, block_q, block_k,
     nk = pl.cdiv(sk, block_k)
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1)[:, None, :]  # (bh, 1, sq) — see lse layout
+
+    if nk == 1 and _os.environ.get("VST_FLASH_SPLIT_BWD") != "1":
+        # one kv block covers the sequence: fused dq+dk+dv kernel halves
+        # the p/ds recompute; VST_FLASH_SPLIT_BWD=1 restores the split
+        # kernels for A/B
+        kern = dict(scale=scale, kv_seq=sk, block_k=block_k, q_seq=sq,
+                    block_q=block_q)
+        q_spec = pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0))
+        kv_spec = pl.BlockSpec((1, block_k, d), lambda b, i: (b, 0, 0))
+        row_spec = pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i))
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_dqkv_kernel, **kern),
+            grid=(bh, nq),
+            in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec,
+                      row_spec],
+            out_specs=[q_spec, kv_spec, kv_spec],
+            out_shape=[jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+                       jax.ShapeDtypeStruct((bh, sk, d), k.dtype),
+                       jax.ShapeDtypeStruct((bh, sk, d), v.dtype)],
+            scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                            pltpu.VMEM((block_k, d), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=10 * bh * sq * sk * d,
+                bytes_accessed=2 * bh * (4 * sq + 4 * sk) * d,
+                transcendentals=bh * sq * sk),
+            interpret=interpret,
+        )(q, k, v, do, lse, delta)
+        return dq, dk, dv
 
     kern = dict(scale=scale, kv_seq=sk, block_k=block_k, q_seq=sq,
                 block_q=block_q)
