@@ -340,10 +340,13 @@ def main():
     # SDXL compile (cold/warm numbers: PERF.md round-3 serving-start
     # section). --compilation_cache_dir (parsed early, pre-argparse, so
     # the config lands before any jit) overrides the env default.
-    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "jax")
     for i, a in enumerate(sys.argv):
-        if a.startswith("--compilation_cache_dir"):
-            cache = a.split("=", 1)[1] if "=" in a else sys.argv[i + 1]
+        if a.startswith("--compilation_cache_dir="):
+            cache = a.split("=", 1)[1]
+        elif a == "--compilation_cache_dir" and i + 1 < len(sys.argv):
+            cache = sys.argv[i + 1]
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
@@ -353,7 +356,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--compilation_cache_dir", default=None,
                     help="persistent XLA compile-cache dir (default "
-                         "$JAX_COMPILATION_CACHE_DIR or /tmp/jax_cache)")
+                         "$JAX_COMPILATION_CACHE_DIR or ~/.cache/jax)")
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--res", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=30)

@@ -34,7 +34,7 @@ def main():
     args = ap.parse_args()
 
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.expanduser("~"), ".cache", "jax"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     except Exception:
         pass

@@ -47,7 +47,7 @@ def main():
                          "parse with benchmarks/xplane_report.py")
     args = ap.parse_args()
 
-    cache = "/tmp/jax_cache"
+    cache = os.path.join(os.path.expanduser("~"), ".cache", "jax")
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)

@@ -55,9 +55,13 @@ def enable_compile_cache(cache_dir: Optional[str] = None):
     (round-1 measured the full video pipeline at ~190 s cold). Called by
     every CLI main; JAX_COMPILATION_CACHE_DIR overrides, and an explicit
     --compilation_cache_dir argument overrides both. Safe to call twice;
-    never raises (some backends reject the option)."""
+    never raises (some backends reject the option).
+
+    The default is per-user (~/.cache/jax), not a fixed /tmp path: a
+    world-writable shared dir lets another local user pre-create it or
+    poison cached executables."""
     cache = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
-             or "/tmp/jax_cache")
+             or os.path.join(os.path.expanduser("~"), ".cache", "jax"))
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)

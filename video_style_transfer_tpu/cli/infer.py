@@ -42,7 +42,7 @@ def build_parser():
                    choices=["both", "content", "style", "base"])
     p.add_argument("--compilation_cache_dir", default=None,
                    help="persistent XLA compile-cache dir (default "
-                        "$JAX_COMPILATION_CACHE_DIR or /tmp/jax_cache); "
+                        "$JAX_COMPILATION_CACHE_DIR or ~/.cache/jax); "
                         "warm starts skip the multi-minute SDXL compile")
     p.add_argument("--output_dir", "--save_dir", dest="output_dir",
                    default="out/images")

@@ -46,7 +46,7 @@ def build_parser():
                    choices=["both", "content", "style", "base"])
     p.add_argument("--compilation_cache_dir", default=None,
                    help="persistent XLA compile-cache dir (default "
-                        "$JAX_COMPILATION_CACHE_DIR or /tmp/jax_cache); "
+                        "$JAX_COMPILATION_CACHE_DIR or ~/.cache/jax); "
                         "warm starts skip the multi-minute SDXL compile")
     p.add_argument("--output_dir", "--save_dir", dest="output_dir",
                    default="out/videos")
@@ -231,7 +231,7 @@ def main(argv=None):
                 # frames/frame_parallel frames in ONE VAE program,
                 # abandoning the measured chunk-1 activation-memory bound
                 # as soon as frame_parallel < frames
-                from jax.experimental.shard_map import shard_map
+                from jax import shard_map  # jax>=0.8 home; experimental alias removed
                 vcfg = bundle.vae_cfg
                 ddt = jnp.dtype(args.vae_dtype)
                 return shard_map(

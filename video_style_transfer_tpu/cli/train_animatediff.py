@@ -36,7 +36,7 @@ def build_parser():
                    help="reference spelling for --prompt")
     p.add_argument("--compilation_cache_dir", default=None,
                    help="persistent XLA compile-cache dir (default "
-                        "$JAX_COMPILATION_CACHE_DIR or /tmp/jax_cache); "
+                        "$JAX_COMPILATION_CACHE_DIR or ~/.cache/jax); "
                         "warm starts skip the multi-minute SDXL compile")
     p.add_argument("--output_dir", default="out/animatediff")
     p.add_argument("--num_frames", type=int, default=8)

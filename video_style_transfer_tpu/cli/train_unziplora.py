@@ -51,7 +51,7 @@ def build_parser():
     p.add_argument("--style_forward_prompt", required=True)
     p.add_argument("--compilation_cache_dir", default=None,
                    help="persistent XLA compile-cache dir (default "
-                        "$JAX_COMPILATION_CACHE_DIR or /tmp/jax_cache); "
+                        "$JAX_COMPILATION_CACHE_DIR or ~/.cache/jax); "
                         "warm starts skip the multi-minute SDXL compile")
     p.add_argument("--output_dir", default="out/unziplora")
     p.add_argument("--name", default="unziplora")

@@ -1,5 +1,12 @@
 """Fused LayerNorm — Pallas TPU kernel. MEASURED SLOWER; NOT WIRED IN.
 
+HOME DECISION (round 4): stays under ops/ with its test file
+(tests/test_layer_norm.py) rather than moving to benchmarks/ — it is
+the documented fallback if a layout change ever breaks XLA's LN fusion,
+and a fallback only stays viable while its correctness tests run in CI.
+The perf sweep that produced the numbers below lives in
+benchmarks/ln_sweep.py.
+
 Kept as a documented negative result with its tests (the production
 `models/layers.py:layer_norm` keeps the plain XLA formula). The
 hypothesis was that one VMEM-resident pass (one HBM read + one write)
