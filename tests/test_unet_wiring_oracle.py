@@ -44,6 +44,59 @@ def L(q, x):
     return torch.nn.functional.linear(x, w, b)
 
 
+def _lora_gate(lq, st, branch, with_merge):
+    """Per-output-column gate of one UnZipLoRA branch, following the
+    reference's materialized form (unziplora_linear_layer.py:228-262):
+    merger in 'both' mode only, hard mask when active, on_* branch gate
+    (infer-layer semantics :308-317)."""
+    out_f = lq[f"merge_{branch}"].shape[0]
+    gate = torch.ones(out_f)
+    if with_merge:
+        gate = gate * _t(lq[f"merge_{branch}"])
+    if st is not None:
+        if bool(st[f"use_mask_{branch}"]):
+            gate = gate * _t(np.asarray(st[f"mask_{branch}"], np.float32))
+        gate = gate * float(st[f"on_{branch}"])
+    return gate
+
+
+def dual_L(q, x, x_c=None, x_s=None, *, mode="base", st=None):
+    """Dual-input LoRACompatibleLinear (reference lora_unzip.py:66-75 +
+    unziplora_linear_layer.py:221-263): base linear on x, plus the
+    content/style branches computed via the reference's MATERIALIZED
+    (in,out) delta = down @ up with the column gate applied to the
+    composed matrix — deliberately NOT the repo's factored rank-space
+    form, so agreement is evidence about the math, not shared code."""
+    y = L(q, x)
+    if mode == "base" or "lora" not in q:
+        return y
+    lq = q["lora"]
+    x_c = x if x_c is None else x_c
+    x_s = x if x_s is None else x_s
+
+    def branch(b, xin, with_merge):
+        w = _t(lq[b]["down"]) @ _t(lq[b]["up"])  # composed (in, out)
+        return xin @ (w * _lora_gate(lq, st, b, with_merge))
+
+    if mode == "both":
+        return y + branch("content", x_c, True) + branch("style", x_s, True)
+    if mode == "content":
+        return y + branch("content", x_c, False)
+    if mode == "style":
+        return y + branch("style", x_s, False)
+    raise ValueError(mode)
+
+
+def _sub(st, *keys):
+    """Traverse the (dict-of-dicts, int-keyed) lora state tree; None at
+    any missing level."""
+    for k in keys:
+        if st is None:
+            return None
+        st = st.get(k)
+    return st
+
+
 def conv(q, x, *, stride=1, padding=None):
     w = _t(q["kernel"]).permute(3, 2, 0, 1).contiguous()  # HWIO -> OIHW
     if padding is None:
@@ -80,12 +133,19 @@ def ts_mlp(q, emb):
     return L(q["linear_2"], silu(L(q["linear_1"], emb)))
 
 
-def sdpa_heads(h, q, kv, heads):
+def sdpa_heads(h, q, kv, heads, *, kv_c=None, kv_s=None, mode="base",
+               st=None):
     """Multi-head attention with torch SDPA. h: (B, S, C) queries,
-    kv: (B, Sk, *) key/value source."""
-    qq = L(q["to_q"], h)
-    kk = L(q["to_k"], kv)
-    vv = L(q["to_v"], kv)
+    kv: (B, Sk, *) key/value source. kv_c/kv_s: the content/style k/v
+    streams of the UnZipLoRA dual projections (reference
+    unzip_attention_processor.py:707-725 — q and out always take the
+    hidden states for all three streams; k/v take the separately-encoded
+    prompts on cross-attention)."""
+    g = lambda name, x, xc, xs: dual_L(  # noqa: E731
+        q[name], x, xc, xs, mode=mode, st=_sub(st, name))
+    qq = g("to_q", h, h, h)
+    kk = g("to_k", kv, kv_c, kv_s)
+    vv = g("to_v", kv, kv_c, kv_s)
     b, s, c = qq.shape
     sk = kk.shape[1]
     d = c // heads
@@ -96,7 +156,7 @@ def sdpa_heads(h, q, kv, heads):
     o = torch.nn.functional.scaled_dot_product_attention(
         sh(qq, s), sh(kk, sk), sh(vv, sk))
     o = o.transpose(1, 2).reshape(b, s, c)
-    return L(q["to_out"], o)
+    return g("to_out", o, o, o)
 
 
 def geglu_ff(q, h):
@@ -105,17 +165,25 @@ def geglu_ff(q, h):
     return L(q["out"], a * torch.nn.functional.gelu(g))
 
 
-def tblock(q, h, ehs, heads):
+def tblock(q, h, ehs, heads, *, ehs_c=None, ehs_s=None, mode="base",
+           st=None):
     """diffusers BasicTransformerBlock (norm1/attn1 self, norm2/attn2
-    cross over encoder_hidden_states, norm3/ff)."""
-    h = h + sdpa_heads(ln(q["norm1"], h), q["attn1"], ln(q["norm1"], h),
-                       heads)
-    h = h + sdpa_heads(ln(q["norm2"], h), q["attn2"], ehs, heads)
+    cross over encoder_hidden_states, norm3/ff). Content/style threading
+    per the reference block (unzip_attention.py:160-206): self-attention
+    feeds the hidden states to all three streams, cross-attention routes
+    the three separately-encoded prompts."""
+    n1 = ln(q["norm1"], h)
+    h = h + sdpa_heads(n1, q["attn1"], n1, heads, mode=mode,
+                       st=_sub(st, "attn1"))
+    h = h + sdpa_heads(ln(q["norm2"], h), q["attn2"], ehs, heads,
+                       kv_c=ehs_c, kv_s=ehs_s, mode=mode,
+                       st=_sub(st, "attn2"))
     h = h + geglu_ff(q["ff"], ln(q["norm3"], h))
     return h
 
 
-def transformer2d(q, x, ehs, heads, groups):
+def transformer2d(q, x, ehs, heads, groups, *, ehs_c=None, ehs_s=None,
+                  mode="base", st=None):
     """diffusers Transformer2DModel, use_linear_projection=True:
     GN(eps 1e-6) -> flatten -> proj_in -> blocks -> proj_out -> +res."""
     b, c, hh, ww = x.shape
@@ -126,7 +194,10 @@ def transformer2d(q, x, ehs, heads, groups):
     n_layers = jax.tree.leaves(q["transformer_blocks"])[0].shape[0]
     for k in range(n_layers):
         blk = jax.tree.map(lambda a: a[k], q["transformer_blocks"])
-        h = tblock(blk, h, ehs, heads)
+        blk_st = (None if st is None
+                  else jax.tree.map(lambda a: a[k], st))
+        h = tblock(blk, h, ehs, heads, ehs_c=ehs_c, ehs_s=ehs_s,
+                   mode=mode, st=blk_st)
     h = L(q["proj_out"], h)
     return h.reshape(b, hh, ww, c).permute(0, 3, 1, 2) + res
 
@@ -179,11 +250,15 @@ def motion(q, x, f, heads, groups):
 
 
 def torch_unet(p, cfg: UNetConfig, sample, t, ehs, pooled, time_ids,
-               num_frames=1):
+               num_frames=1, *, ehs_c=None, ehs_s=None, mode="base",
+               state=None):
     """The assembled SDXL (Motion-)UNet graph in torch, written from the
     diffusers/reference structure (unet_2d_condition.py:353-655 forward
     order; unet_block.py:682-924 block internals; UNetMotionModel for
-    the resnet->attn->motion interleave)."""
+    the resnet->attn->motion interleave). ehs_c/ehs_s + mode + state
+    enable the UnZipLoRA triple-prompt threading (unet_2d_condition.py
+    :552-632 routes encoder_hidden_states_content/style to every
+    cross-attn block)."""
     groups, eps = cfg.norm_num_groups, cfg.norm_eps
     b = time_ids.shape[0]
 
@@ -196,10 +271,16 @@ def torch_unet(p, cfg: UNetConfig, sample, t, ehs, pooled, time_ids,
     emb = emb + ts_mlp(p["add_embedding"],
                        torch.cat([pooled, time_embeds], dim=-1))
     if num_frames > 1:
-        emb = emb.repeat_interleave(num_frames, dim=0)
-        ehs = ehs.repeat_interleave(num_frames, dim=0)
+        rep = lambda e: (None if e is None  # noqa: E731
+                         else e.repeat_interleave(num_frames, dim=0))
+        emb = rep(emb)
+        ehs, ehs_c, ehs_s = rep(ehs), rep(ehs_c), rep(ehs_s)
 
     motion_on = cfg.use_motion_modules and num_frames > 1
+
+    def t2d(q, h, heads, st):
+        return transformer2d(q, h, ehs, heads, groups, ehs_c=ehs_c,
+                             ehs_s=ehs_s, mode=mode, st=st)
 
     # -- down path --
     h = conv(p["conv_in"], sample)
@@ -208,8 +289,10 @@ def torch_unet(p, cfg: UNetConfig, sample, t, ehs, pooled, time_ids,
         for j, rq in enumerate(block["resnets"]):
             h = resnet(rq, h, emb, groups, eps)
             if cfg.down_block_types[i] == CROSS:
-                h = transformer2d(block["attentions"][j], h, ehs,
-                                  cfg.num_attention_heads[i], groups)
+                h = t2d(block["attentions"][j], h,
+                        cfg.num_attention_heads[i],
+                        _sub(state, "down_blocks", i, "attentions", j,
+                             "transformer_blocks"))
             if motion_on:
                 h = motion(block["motion_modules"][j], h, num_frames,
                            cfg.motion_num_attention_heads, groups)
@@ -223,8 +306,9 @@ def torch_unet(p, cfg: UNetConfig, sample, t, ehs, pooled, time_ids,
     # -- mid (resnet0 -> attn [-> motion] -> resnet1) --
     mid = p["mid_block"]
     h = resnet(mid["resnets"][0], h, emb, groups, eps)
-    h = transformer2d(mid["attentions"][0], h, ehs,
-                      cfg.num_attention_heads[-1], groups)
+    h = t2d(mid["attentions"][0], h, cfg.num_attention_heads[-1],
+            _sub(state, "mid_block", "attentions", 0,
+                 "transformer_blocks"))
     if motion_on and "motion_modules" in mid:
         h = motion(mid["motion_modules"][0], h, num_frames,
                    cfg.motion_num_attention_heads, groups)
@@ -236,10 +320,11 @@ def torch_unet(p, cfg: UNetConfig, sample, t, ehs, pooled, time_ids,
             h = torch.cat([h, skips.pop()], dim=1)
             h = resnet(rq, h, emb, groups, eps)
             if cfg.up_block_types[i] == CROSS:
-                h = transformer2d(
-                    block["attentions"][j], h, ehs,
-                    cfg.num_attention_heads[len(cfg.block_out_channels)
-                                            - 1 - i], groups)
+                h = t2d(block["attentions"][j], h,
+                        cfg.num_attention_heads[len(cfg.block_out_channels)
+                                                - 1 - i],
+                        _sub(state, "up_blocks", i, "attentions", j,
+                             "transformer_blocks"))
             if motion_on:
                 h = motion(block["motion_modules"][j], h, num_frames,
                            cfg.motion_num_attention_heads, groups)
