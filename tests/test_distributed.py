@@ -1,8 +1,24 @@
-"""init_distributed contract tests — env-var parsing and the
-single-host no-op (the code path that first runs on a real pod; the
-reference's equivalent boundary is Accelerate's process-group init,
-train_unziplora.py:1129-1139). jax.distributed.initialize is
-monkeypatched: actually initializing would block on a coordinator."""
+"""init_distributed tests.
+
+Two tiers:
+  - contract tests: env-var parsing and the single-host no-op with
+    jax.distributed.initialize monkeypatched (initializing in-process
+    would block on a coordinator);
+  - test_two_process_cpu_training_step: a REAL 2-process execution —
+    coordinator + worker subprocesses on localhost, genuine
+    jax.distributed.initialize over gRPC, a cross-process reduction,
+    and one stage-1 DP train step over the global 8-device CPU mesh
+    matching a single-process run (the reference's equivalent is
+    accelerate launch's multi-process DDP, train.sh:44 +
+    train_unziplora.py:1129-1139).
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
 import jax
 
 from video_style_transfer_tpu.parallel.distributed import init_distributed
@@ -71,3 +87,70 @@ def test_auto_defers_to_explicit_topology(monkeypatch):
     assert init_distributed(auto=True) is True
     assert calls == [((), {"coordinator_address": "10.0.0.2:99",
                            "num_processes": 2, "process_id": 1})]
+
+
+# ---------------------------------------------------------------------------
+# Real 2-process execution
+# ---------------------------------------------------------------------------
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_cpu_training_step(tmp_path):
+    """Spawn coordinator + worker; each runs the REAL
+    jax.distributed.initialize (via init_distributed's env-var path),
+    asserts a cross-process reduction, and executes one stage-1 DP
+    train step with the batch rows sharded across both processes.
+    The parent then replays the byte-identical step single-process and
+    checks loss + every updated param leaf."""
+    port = _free_port()
+    out = tmp_path / "proc0_result.npz"
+    worker = os.path.join(os.path.dirname(__file__),
+                          "distributed_worker.py")
+
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update({
+            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, str(out)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env))
+    outs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(stdout)
+    for pid, (p, stdout) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, \
+            f"process {pid} failed:\n{stdout[-4000:]}"
+        assert "psum ok" in stdout, stdout[-2000:]
+
+    # single-process replay from the same deterministic builders
+    import distributed_worker
+    step, state, batch = distributed_worker.build_problem()
+    new_state, metrics = jax.jit(step)(state, batch,
+                                       jax.random.PRNGKey(14))
+
+    got = np.load(out)
+    np.testing.assert_allclose(got["loss"], float(metrics["loss"]),
+                               rtol=1e-4)
+    leaves = jax.tree.leaves(new_state.params)
+    assert int(got["n_leaves"]) == len(leaves)
+    for i, leaf in enumerate(leaves):
+        np.testing.assert_allclose(got[f"leaf_{i}"], np.asarray(leaf),
+                                   rtol=2e-4, atol=1e-5)
