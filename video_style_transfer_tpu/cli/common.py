@@ -69,9 +69,27 @@ def enable_compile_cache(cache_dir: Optional[str] = None):
         pass
 
 
+def tiny_checkpoint_configs(motion: bool = False):
+    """Self-consistent tiny (UNet, VAE, CLIP-L, CLIP-G) configs for a
+    synthetic diffusers-layout checkpoint directory: the two CLIP hidden
+    sizes sum to the UNet's cross_attention_dim (16+16=32) and the big
+    encoder's projection_dim matches the UNet's pooled conditioning slot
+    (32 = projection_class_embeddings_input_dim - 6*addition_time_embed
+    _dim). Used by the parity-gate runbook (cli/verify_parity.py) to
+    smoke the full inventory->load->generate->compare chain with no real
+    weights."""
+    return (UNetConfig.tiny(use_motion_modules=motion), VAEConfig.tiny(),
+            CLIPConfig.tiny(), CLIPConfig.tiny(projection_dim=32))
+
+
 def load_models(pretrained_model: Optional[str], *, smoke: bool = False,
                 motion: bool = False, dtype=jnp.bfloat16,
-                seed: int = 0, vae_path: Optional[str] = None) -> ModelBundle:
+                seed: int = 0, vae_path: Optional[str] = None,
+                configs=None) -> ModelBundle:
+    """configs: optional (UNetConfig, VAEConfig, CLIPConfig, CLIPConfig)
+    override for non-SDXL-sized checkpoint directories (the parity-gate
+    runbook's tiny-synthetic smoke path); pooled_dim / vae_scale_factor
+    derive from the configs."""
     if smoke or not pretrained_model:
         ucfg = UNetConfig.tiny(use_motion_modules=motion)
         vcfg = VAEConfig.tiny()
@@ -97,7 +115,7 @@ def load_models(pretrained_model: Optional[str], *, smoke: bool = False,
     from video_style_transfer_tpu.utils.hf_convert import load_sdxl
 
     bundle = load_sdxl(pretrained_model, dtype=dtype, with_motion=motion,
-                       vae_dir=vae_path)
+                       vae_dir=vae_path, configs=configs)
     tok = tok2 = None
     tok_dir = os.path.join(pretrained_model, "tokenizer")
     tok2_dir = os.path.join(pretrained_model, "tokenizer_2")
@@ -110,7 +128,10 @@ def load_models(pretrained_model: Optional[str], *, smoke: bool = False,
     clip_l, lcfg = bundle["clip_l"]
     clip_g, gcfg = bundle["clip_g"]
     return ModelBundle(unet, ucfg, vae, vcfg, clip_l, lcfg, clip_g, gcfg,
-                       tokenizer=tok, tokenizer_2=tok2)
+                       tokenizer=tok, tokenizer_2=tok2,
+                       vae_scale_factor=2 ** (len(vcfg.block_out_channels)
+                                              - 1),
+                       pooled_dim=gcfg.projection_dim or gcfg.hidden_size)
 
 
 def encode_prompt(bundle: ModelBundle, prompt: str,
@@ -140,9 +161,13 @@ def encode_prompt(bundle: ModelBundle, prompt: str,
                          "SDXL needs both CLIP tokenizers")
     ids_l = jnp.asarray(bundle.tokenizer(prompt))
     ids_g = jnp.asarray(bundle.tokenizer_2(prompt_2 or prompt))
+    # pass the vocab's actual EOS ids (= 49407 for both SDXL tokenizers;
+    # differs for the synthetic tiny-checkpoint vocab)
     return encode_sdxl_prompt(bundle.clip_l, bundle.clip_l_cfg,
                               bundle.clip_g, bundle.clip_g_cfg,
-                              ids_l, ids_g)
+                              ids_l, ids_g,
+                              eos_l=bundle.tokenizer.eos_token_id,
+                              eos_g=bundle.tokenizer_2.eos_token_id)
 
 
 def make_conditioning(bundle: ModelBundle, prompt: str,

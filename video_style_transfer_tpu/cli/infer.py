@@ -84,6 +84,12 @@ def build_parser():
                         "reference stamps it whenever the "
                         "invisible-watermark package is installed)")
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--config_preset", default="sdxl",
+                   choices=["sdxl", "tiny"],
+                   help="model topology for --pretrained_model... dirs: "
+                        "sdxl (default) or tiny — the synthetic-"
+                        "checkpoint smoke topology the parity-gate "
+                        "runbook (cli/verify_parity.py) generates with")
     return p
 
 
@@ -96,8 +102,11 @@ def main(argv=None):
     from video_style_transfer_tpu.lora.surgery import insert_unziplora
 
     os.makedirs(args.output_dir, exist_ok=True)
+    configs = (common.tiny_checkpoint_configs()
+               if args.config_preset == "tiny" else None)
     bundle = common.load_models(args.pretrained_model_name_or_path,
-                                smoke=args.smoke, motion=False)
+                                smoke=args.smoke, motion=False,
+                                configs=configs)
     res = args.resolution if not args.smoke else 16
     height = (args.height or res) if not args.smoke else res
     width = (args.width or res) if not args.smoke else res
