@@ -76,7 +76,7 @@ def build(frames: int, res: int, steps: int, tiny: bool, scan: bool,
           workload: str = "video", impl: str = "auto",
           const: bool = False, randinit: bool = False,
           autolayout: bool = False, batch: int = 1,
-          steps_per_call: int = 1):
+          steps_per_call: int = 1, fold_cross_kv: bool = False):
     from video_style_transfer_tpu.config import UNetConfig
     from video_style_transfer_tpu.lora.surgery import insert_unziplora
     from video_style_transfer_tpu.models.unet import init_unet
@@ -119,9 +119,14 @@ def build(frames: int, res: int, steps: int, tiny: bool, scan: bool,
     # production serving path: video uses a single shared prompt -> LoRA
     # folds fully; the image workload keeps distinct content/style
     # prompts -> cross-attn k/v stay dynamic
+    # --fold_cross_kv on the image workload measures the shared-prompt
+    # special case (content == style == combined prompt folds all 12/12
+    # projections) — the A/B that prices the triple-prompt dynamic
+    # cross-attn LoRA branches for the precision study (PERF.md round 4)
     from video_style_transfer_tpu.lora.surgery import fold_unziplora
-    params, _ = fold_unziplora(params, state, mode="both",
-                               fold_cross_kv=(workload == "video"))
+    params, _ = fold_unziplora(
+        params, state, mode="both",
+        fold_cross_kv=(workload == "video" or fold_cross_kv))
 
     xdim = cfg.cross_attention_dim
     pooled_dim = (cfg.projection_class_embeddings_input_dim
@@ -400,6 +405,12 @@ def main():
                     choices=["video", "image"],
                     help="video: 16f AnimateDiff-XL denoise (headline); "
                          "image: triple-prompt UnZipLoRA SDXL image")
+    ap.add_argument("--fold_cross_kv", action="store_true",
+                    help="image workload: fold ALL 12/12 projections "
+                         "(shared-prompt special case — prices the "
+                         "triple-prompt dynamic cross-attn LoRA "
+                         "branches; exact-parity only when content == "
+                         "style == combined prompt)")
     args = ap.parse_args()
 
     if args.workload == "image" and args.steps == 30:
@@ -413,7 +424,8 @@ def main():
                     args.scan, args.workload, args.impl,
                     const=args.const, randinit=args.randinit,
                     autolayout=args.autolayout, batch=args.batch,
-                    steps_per_call=args.steps_per_call)
+                    steps_per_call=args.steps_per_call,
+                    fold_cross_kv=args.fold_cross_kv)
     seed = int(time.time() * 1e3) % (2 ** 31)
 
     def timed(fn, warm_seed):
@@ -516,7 +528,10 @@ def main():
                          "vae_decode": round(decode_s, 3)},
         "projected_v5e8_s": round(projected_v5e8_s, 3),
     }
-    if not args.tiny and args.decode_dtype == "float32":
+    # the TPU-down fallback record must hold the HEADLINE protocol only
+    # (a frame-sweep run like --frames 8 must not overwrite it)
+    if (not args.tiny and args.decode_dtype == "float32"
+            and (args.frames, args.res, args.steps) == (16, 1024, 30)):
         with open(LAST_RESULT, "w") as f:
             json.dump(rec, f)
     print(json.dumps(rec))

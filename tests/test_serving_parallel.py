@@ -102,13 +102,39 @@ def test_infer_video_cli_frame_parallel(tmp_path):
     assert os.path.getsize(outs[0]) > 0
 
 
-def test_infer_video_cli_frame_parallel_validates(tmp_path):
-    import pytest
+def test_infer_video_cli_frame_parallel_uneven(tmp_path):
+    """--frame_parallel 3 with 4 smoke frames (non-divisible): the
+    denoise shards unevenly under GSPMD and the decode helper pads to 6
+    and slices back — all 4 frames come out (VERDICT r3 next-item 5)."""
     from video_style_transfer_tpu.cli.infer_video import main as infer
-    with pytest.raises(SystemExit):
-        infer(["--smoke", "--prompt", "p", "--modes", "both",
-               "--frame_parallel", "3",  # does not divide 4 smoke frames
-               "--output_dir", str(tmp_path)])
+    outs = infer(["--smoke", "--prompt", "a sbu horse in szn style",
+                  "--modes", "both", "--frame_parallel", "3",
+                  "--output_dir", str(tmp_path)])
+    assert len(outs) == 1
+    assert os.path.getsize(outs[0]) > 0
+
+
+def test_decode_frame_sharded_uneven_matches_unsharded():
+    """decode_video_frame_sharded at F=6 over a 4-device 'frame' mesh
+    (pad 2) is exactly the unsharded per-frame decode on the real
+    frames: padding must never leak into real outputs."""
+    from video_style_transfer_tpu.config import VAEConfig
+    from video_style_transfer_tpu.models.vae import init_vae
+    from video_style_transfer_tpu.parallel.mesh import create_mesh
+    from video_style_transfer_tpu.pipelines.video import (
+        decode_video, decode_video_frame_sharded)
+
+    vcfg = VAEConfig.tiny()
+    vae = init_vae(jax.random.PRNGKey(0), vcfg)
+    lat = jax.random.normal(jax.random.PRNGKey(1), (6, 8, 8, 4),
+                            jnp.float32)
+    mesh = create_mesh(jax.devices()[:4])  # all on 'frame'
+    with mesh:
+        sharded = jax.jit(lambda v, z: decode_video_frame_sharded(
+            v, vcfg, z, mesh))(vae, lat)
+    plain = decode_video(vae, vcfg, lat, chunk=1)
+    assert sharded.shape == plain.shape == (6, 16, 16, 3)
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(plain))
 
 
 def test_infer_video_cli_frame_parallel_subdivided(tmp_path):

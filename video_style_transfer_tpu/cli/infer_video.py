@@ -174,8 +174,11 @@ def main(argv=None):
             raise SystemExit(f"--frame_parallel {n} needs {n} devices; "
                              f"{len(jax.devices())} available")
         if frames % n != 0:
-            raise SystemExit(f"--frame_parallel {n} must divide "
-                             f"--num_frames {frames}")
+            # uneven F shards fine (GSPMD pads the denoise; the decode
+            # helper pads+slices explicitly) at the cost of one padded
+            # frame's work per short shard
+            print(f"note: --num_frames {frames} not divisible by "
+                  f"--frame_parallel {n}; last shard is padded")
         mesh = create_mesh(jax.devices()[:n])  # every device on 'frame'
         bundle.vae = jax.device_put(bundle.vae, replicate(mesh))
         print(f"frame-parallel serving: mesh {dict(mesh.shape)}")
@@ -215,7 +218,7 @@ def main(argv=None):
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from video_style_transfer_tpu.pipelines.video import (
-                decode_video, generate_video_latents)
+                decode_video_frame_sharded, generate_video_latents)
 
             def run_fn(p, u, c, key, m=mode):
                 lat = generate_video_latents(
@@ -226,19 +229,11 @@ def main(argv=None):
                     vae_scale_factor=bundle.vae_scale_factor)
                 lat = jax.lax.with_sharding_constraint(
                     lat, NamedSharding(mesh, P("frame")))
-                # decode per shard at chunk 1 (shard_map + local lax.map):
-                # a plain whole-batch decode would hand each device
-                # frames/frame_parallel frames in ONE VAE program,
-                # abandoning the measured chunk-1 activation-memory bound
-                # as soon as frame_parallel < frames
-                from jax import shard_map  # jax>=0.8 home; experimental alias removed
-                vcfg = bundle.vae_cfg
-                ddt = jnp.dtype(args.vae_dtype)
-                return shard_map(
-                    lambda v, z: decode_video(v, vcfg, z, chunk=1,
-                                              dtype=ddt),
-                    mesh=mesh, in_specs=(P(), P("frame")),
-                    out_specs=P("frame"))(bundle.vae, lat)
+                # decode per shard at chunk 1 (shard_map + local lax.map,
+                # padding uneven F): see decode_video_frame_sharded
+                return decode_video_frame_sharded(
+                    bundle.vae, bundle.vae_cfg, lat, mesh,
+                    dtype=jnp.dtype(args.vae_dtype))
 
             fparams = jax.device_put(
                 fparams, NamedSharding(mesh, P()))

@@ -155,5 +155,10 @@ def init_feed_forward(key, dim: int, *, mult: int = 4, dtype=jnp.float32):
 
 def feed_forward(p, x):
     from video_style_transfer_tpu.ops.geglu import geglu_projection
-    h = geglu_projection(x, p["proj"]["kernel"], p["proj"]["bias"])
+    from video_style_transfer_tpu.parallel.mesh import rowsharded_kernel
+    # per-token MLP: under a mesh the Pallas kernel runs per row shard
+    # (GSPMD would replicate the custom call's operands otherwise)
+    h = rowsharded_kernel(
+        lambda x_, w_, b_: geglu_projection(x_, w_, b_),
+        x, p["proj"]["kernel"], p["proj"]["bias"])
     return layers.linear(p["out"], h)

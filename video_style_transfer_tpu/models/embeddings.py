@@ -63,7 +63,17 @@ def sdxl_add_embedding(p, text_embeds, time_ids, *, addition_time_embed_dim,
 
 def temporal_positional_encoding(num_frames: int, dim: int, max_len: int = 32):
     """Sinusoidal frame-position encoding for temporal attention
-    (spec: animatediff/temporal_transformer.py:6-27). Returns (F, dim)."""
+    (spec: animatediff/temporal_transformer.py:6-27). Returns (F, dim).
+
+    num_frames > max_len raises like the reference's adapter-cap check
+    (train_animatediff.py:103-107) instead of silently truncating the
+    table and shape-erroring downstream."""
+    if num_frames > max_len:
+        raise ValueError(
+            f"num_frames={num_frames} exceeds the motion modules' "
+            f"positional-encoding cap max_seq_length={max_len} "
+            f"(reference animatediff/temporal_transformer.py:11; adapter "
+            f"cap check train_animatediff.py:103-107)")
     position = jnp.arange(max_len, dtype=jnp.float32)[:, None]
     div_term = jnp.exp(jnp.arange(0, dim, 2, dtype=jnp.float32)
                        * (-math.log(10000.0) / dim))

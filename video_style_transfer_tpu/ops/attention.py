@@ -73,7 +73,12 @@ def sdpa_shortkv(q, k, v, *, scale: Optional[float] = None):
 def _sdpa_impl(q, k, v, *, impl: str):
     if impl == "pallas":
         from video_style_transfer_tpu.ops.flash_attention import flash_attention
-        return flash_attention(q, k, v)
+        from video_style_transfer_tpu.parallel.mesh import rowsharded_kernel
+        # batch rows are independent: under a mesh the kernel runs
+        # per-shard (GSPMD cannot partition Pallas custom calls and
+        # would replicate the operands otherwise)
+        return rowsharded_kernel(
+            lambda q_, k_, v_: flash_attention(q_, k_, v_), q, k, v)
     if impl == "shortkv":
         return sdpa_shortkv(q, k, v)
     return sdpa_xla(q, k, v)
@@ -119,7 +124,10 @@ def sdpa_fused_qkv(qkv, num_heads: int, *, impl: str = "auto"):
         on_tpu = jax.default_backend() == "tpu"
         if ((impl == "pallas" or (on_tpu and s >= _FLASH_MIN_SEQ))
                 and d % 64 == 0 and d <= 512 and packable_qkv(num_heads, d)):
-            return flash_attention_qkv(qkv, num_heads)
+            from video_style_transfer_tpu.parallel.mesh import \
+                rowsharded_kernel
+            return rowsharded_kernel(
+                lambda a: flash_attention_qkv(a, num_heads), qkv)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     o = sdpa(split_heads(q, num_heads), split_heads(k, num_heads),
              split_heads(v, num_heads), impl=impl)

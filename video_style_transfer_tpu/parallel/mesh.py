@@ -66,3 +66,105 @@ def shard_rows(mesh: Mesh, *, frames_only: bool = False) -> NamedSharding:
     if frames_only:
         return NamedSharding(mesh, P(FRAME_AXIS))
     return NamedSharding(mesh, P((DATA_AXIS, FRAME_AXIS)))
+
+
+def context_mesh() -> Optional[Mesh]:
+    """The enclosing `with mesh:` context's physical mesh, or None.
+    Lets model code adapt to a mesh without threading one through the
+    functional API (single-chip callers see None and trace the exact
+    single-device graph)."""
+    from jax._src.mesh import thread_resources
+    mesh = thread_resources.env.physical_mesh
+    return None if mesh.empty else mesh
+
+
+import contextlib as _contextlib
+import contextvars as _contextvars
+
+_IN_MANUAL = _contextvars.ContextVar("vst_in_manual_shardmap",
+                                     default=False)
+
+
+@_contextlib.contextmanager
+def manual_region():
+    """Marks (at trace time) that the code below already runs inside an
+    explicit shard_map — rowsharded_kernel must not nest another one."""
+    tok = _IN_MANUAL.set(True)
+    try:
+        yield
+    finally:
+        _IN_MANUAL.reset(tok)
+
+
+def in_manual_region() -> bool:
+    return _IN_MANUAL.get()
+
+
+def rowsharded_kernel(fn, x, *args):
+    """Run row-local `fn(x, *args)` (first dim of x = independent
+    batch rows, e.g. a Pallas kernel whose grid is per-row) under a
+    shard_map that splits x's rows over ('data', 'frame') and
+    replicates *args, when an enclosing `with mesh:` context is active.
+    Identity call otherwise.
+
+    Why: GSPMD cannot partition Pallas custom calls — under a sharded
+    mesh it replicates their operands (a full all-gather per call site,
+    per scan iteration for the transformer stacks; audited in
+    benchmarks/collective_volume.py). Row-local kernels need no
+    communication at all, so the shard_map makes each device run the
+    kernel on its own rows. Skipped when: no mesh; already inside an
+    explicit shard_map (nesting); a tensor-parallel 'model' axis is
+    active (its weights are sharded, P() would gather them); or rows
+    don't divide the mesh."""
+    from jax import shard_map
+
+    mesh = context_mesh()
+    if mesh is None or in_manual_region():
+        return fn(x, *args)
+    if mesh.shape.get("model", 1) != 1:
+        return fn(x, *args)
+    d = mesh.shape.get("data", 1) * mesh.shape.get("frame", 1)
+    if d <= 1 or x.shape[0] % d:
+        return fn(x, *args)
+    rows = tuple(a for a in ("data", "frame") if a in mesh.shape)
+    spec = P(rows)
+
+    def local(x_, *a):
+        with manual_region():
+            return fn(x_, *a)
+
+    # check_vma=False: Pallas out_shapes carry no varying-mesh-axes
+    # annotation (see models/motion.py)
+    return shard_map(local, mesh=mesh,
+                     in_specs=(spec,) + (P(),) * len(args),
+                     out_specs=spec, check_vma=False)(x, *args)
+
+
+def context_constraint(x, *spec):
+    """`lax.with_sharding_constraint(x, P(*spec))` iff an enclosing
+    `with mesh:` context defines every named axis and their product is
+    > 1; identity otherwise. Model code calls this to pin the layout at
+    reshard points (the motion modules' frame<->pixel transition)
+    without threading a mesh through the functional API — single-chip
+    traces are bit-identical because the call is a no-op there.
+
+    Why it exists: GSPMD's default solution for the temporal-attention
+    cross-frame dependency under frame sharding is to ALL-GATHER the
+    full activation at every motion module (audited at 109 GB of
+    collectives per 16-frame UNet call, ~2.1 s of ICI on v5e-8 —
+    benchmarks/collective_volume.py), erasing the frame-parallel
+    speedup. Pinning the module interior to pixel sharding turns the
+    transition into a pair of all-to-alls moving ~1/n of the activation
+    per device."""
+    from jax._src.mesh import thread_resources
+    mesh = thread_resources.env.physical_mesh
+    if mesh.empty:
+        return x
+    names = [n for e in spec if e is not None
+             for n in ((e,) if isinstance(e, str) else e)]
+    if not all(n in mesh.shape for n in names):
+        return x
+    if int(np.prod([mesh.shape[n] for n in names])) <= 1:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec)))

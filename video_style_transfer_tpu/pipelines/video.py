@@ -72,6 +72,41 @@ def decode_video(vae_params, vae_cfg, latents, *, chunk: int = 1,
     return out.reshape(f, *out.shape[2:])
 
 
+def decode_video_frame_sharded(vae_params, vae_cfg, latents, mesh, *,
+                               dtype=jnp.float32):
+    """Frame-parallel decode over a mesh's 'frame' axis: shard_map +
+    per-shard chunk-1 lax.map, preserving the measured chunk-1
+    activation-memory bound on every device even when each device holds
+    several frames (the plain whole-batch decode would hand each shard
+    F/n frames in one VAE program). F not divisible by the frame axis is
+    zero-padded to the next multiple and sliced after decode — the pad
+    frames decode to garbage that is discarded, costing pad/n of one
+    shard's work, so e.g. F=24 on 8 devices is exact and F=12 on 8 pads
+    4 (the reference has no multi-device serving to mirror; the PE cap
+    F<=32 is the only hard limit, animatediff/temporal_transformer.py:11).
+    """
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = mesh.shape["frame"]
+    f = latents.shape[0]
+    pad = (-f) % n
+    if pad:
+        latents = jnp.concatenate(
+            [latents, jnp.zeros((pad,) + latents.shape[1:],
+                                latents.dtype)], axis=0)
+    latents = jax.lax.with_sharding_constraint(
+        latents, NamedSharding(mesh, P("frame")))
+    def _local(v, z):
+        from video_style_transfer_tpu.parallel.mesh import manual_region
+        with manual_region():
+            return decode_video(v, vae_cfg, z, chunk=1, dtype=dtype)
+
+    out = shard_map(_local, mesh=mesh, in_specs=(P(), P("frame")),
+                    out_specs=P("frame"))(vae_params, latents)
+    return out[:f]
+
+
 def generate_video(unet_params, unet_cfg, vae_params, vae_cfg,
                    uncond: Conditioning, cond: Conditioning, key, *,
                    num_frames: int = 16, height: int = 1024,
