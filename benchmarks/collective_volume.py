@@ -138,12 +138,88 @@ def parse_collectives(hlo_text: str):
     return out
 
 
+def _build_train_step(args, mesh):
+    """Full stage-2 train step (fwd + flash bwd + remat + masked AdamW)
+    on a ('data','frame') mesh — the training-side audit target."""
+    from video_style_transfer_tpu.config import UNetConfig
+    from video_style_transfer_tpu.lora.surgery import (
+        insert_temporal_lora, insert_unziplora, spatial_pairs)
+    from video_style_transfer_tpu.models.unet import init_unet
+    from video_style_transfer_tpu.schedulers.ddpm import make_schedule
+    from video_style_transfer_tpu.training import stage2
+
+    tiny = args.tiny
+    cfg = (UNetConfig.tiny(use_motion_modules=True) if tiny
+           else UNetConfig.sdxl(use_motion_modules=True))
+    dt = jnp.bfloat16
+    res = 16 if tiny else args.res
+    vsf = 2 if tiny else 8
+    f = 4 if tiny else args.frames
+
+    def build(key):
+        p = init_unet(key, cfg, dtype=dt)
+        p, ls = insert_unziplora(p, key, rank=4 if tiny else 64, dtype=dt)
+        p = insert_temporal_lora(p, key, rank=4 if tiny else 32, dtype=dt)
+        return p, ls
+
+    shapes = jax.eval_shape(build, jax.random.PRNGKey(0))
+    params, state_z = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+    def fix(tree, name=None):
+        if isinstance(tree, dict):
+            return {k: fix(v, k) for k, v in tree.items()}
+        if name and name.startswith("on_"):
+            return jnp.ones(tree.shape, tree.dtype)
+        return tree
+
+    lora_state = fix(state_z)
+    pairs = spatial_pairs(params)
+    mask = stage2.trainable_mask(params)
+    opt = stage2.make_optimizer(mask, total_steps=1000)
+    st = stage2.init_state(params, opt)
+    sched = make_schedule()
+
+    xdim = cfg.cross_attention_dim
+    pooled_dim = (cfg.projection_class_embeddings_input_dim
+                  - 6 * cfg.addition_time_embed_dim)
+    lat = res // vsf
+    b = mesh.shape.get("data", 1)
+    batch = {
+        "latents": jax.ShapeDtypeStruct((b, f, lat, lat, 4), dt),
+        "ctx": jax.ShapeDtypeStruct((b, 77, xdim), dt),
+        "pooled": jax.ShapeDtypeStruct((b, pooled_dim), dt),
+        "time_ids": jax.ShapeDtypeStruct((b, 6), dt),
+    }
+    step = stage2.make_train_step(cfg, sched, opt, pairs, mask=mask,
+                                  lora_state=lora_state, remat=True)
+
+    shard = {
+        "latents": NamedSharding(mesh, P("data", "frame")),
+        "ctx": NamedSharding(mesh, P("data")),
+        "pooled": NamedSharding(mesh, P("data")),
+        "time_ids": NamedSharding(mesh, P("data")),
+    }
+
+    def fn(st_, batch_, key):
+        batch_ = {k: jax.lax.with_sharding_constraint(v, shard[k])
+                  for k, v in batch_.items()}
+        return step(st_, batch_, key)
+
+    return fn, (st, batch, jax.random.PRNGKey(0)), f, (b * f, lat, lat, 4)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--res", type=int, default=1024)
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--train", action="store_true",
+                    help="audit the stage-2 TRAIN step (fwd + bwd + "
+                         "remat + update) on a (data=2, frame=n/2) mesh "
+                         "instead of the serving UNet call; --frames "
+                         "then means frames PER SAMPLE (default 8)")
     ap.add_argument("--ici_gbps", type=float, default=45.0,
                     help="per-link ICI bandwidth, GB/s (v5e: ~45 GB/s "
                          "per direction per link, 2D torus)")
@@ -158,48 +234,61 @@ def main():
     from video_style_transfer_tpu.models.unet import init_unet, unet_apply
     from video_style_transfer_tpu.parallel.mesh import create_mesh
 
-    if args.tiny:
-        cfg = UNetConfig.tiny(use_motion_modules=True)
-        f, lat_hw, d, pooled = 4, 8, cfg.cross_attention_dim, 32
-    else:
-        cfg = UNetConfig.sdxl(use_motion_modules=True)
-        f, lat_hw, d, pooled = args.frames, args.res // 8, 2048, 1280
-
     devices = jax.devices()[:args.devices]
-    mesh = create_mesh(devices)  # every device on 'frame'
 
-    def abstract(fn, *a):
-        return jax.eval_shape(fn, *a)
+    if args.train:
+        if args.frames == 16:
+            args.frames = 8  # stage-2 reference workload default
+        mesh = create_mesh(devices, data=2 if args.devices % 2 == 0 else 1)
+        fn, fn_args, f, latent = _build_train_step(args, mesh)
+        with mesh:
+            compiled = jax.jit(fn).lower(*fn_args).compile()
+        rows, lat_hw = latent[0], latent[1]
+    else:
+        if args.tiny:
+            cfg = UNetConfig.tiny(use_motion_modules=True)
+            f, lat_hw, d, pooled = 4, 8, cfg.cross_attention_dim, 32
+        else:
+            cfg = UNetConfig.sdxl(use_motion_modules=True)
+            f, lat_hw, d, pooled = args.frames, args.res // 8, 2048, 1280
 
-    def build(key):
-        params = init_unet(key, cfg, dtype=jnp.bfloat16)
-        return insert_unziplora(params, key, rank=4 if args.tiny else 64,
-                                dtype=jnp.bfloat16)
+        mesh = create_mesh(devices)  # every device on 'frame'
 
-    params_s, state_s = abstract(build, jax.random.PRNGKey(0))
+        def abstract(fn, *a):
+            return jax.eval_shape(fn, *a)
 
-    rows = 2 * f  # CFG-doubled pair
-    lat = jax.ShapeDtypeStruct((rows, lat_hw, lat_hw, 4), jnp.bfloat16)
-    t = jax.ShapeDtypeStruct((2,), jnp.float32)
-    ctx = jax.ShapeDtypeStruct((2, 77, d), jnp.bfloat16)
-    pool = jax.ShapeDtypeStruct((2, pooled), jnp.bfloat16)
-    tids = jax.ShapeDtypeStruct((2, 6), jnp.bfloat16)
+        def build(key):
+            params = init_unet(key, cfg, dtype=jnp.bfloat16)
+            return insert_unziplora(params, key,
+                                    rank=4 if args.tiny else 64,
+                                    dtype=jnp.bfloat16)
 
-    # the lora state carries concrete gate booleans at trace time in the
-    # real pipeline; abstract bools suffice for sharding/collective
-    # analysis as unet_apply treats them as arrays, not Python branches
-    def fn(p, st, lat, t, ctx, pool, tids):
-        lat = jax.lax.with_sharding_constraint(
-            lat, NamedSharding(mesh, P("frame")))
-        out = unet_apply(p, cfg, lat, t, (ctx, ctx, ctx), pool, tids,
-                         mode="both", state=st, num_frames=f, impl="auto")
-        return jax.lax.with_sharding_constraint(
-            out, NamedSharding(mesh, P("frame")))
+        params_s, state_s = abstract(build, jax.random.PRNGKey(0))
 
-    with mesh:
-        lowered = jax.jit(fn).lower(params_s, state_s, lat, t, ctx,
-                                    pool, tids)
-        compiled = lowered.compile()
+        rows = 2 * f  # CFG-doubled pair
+        lat = jax.ShapeDtypeStruct((rows, lat_hw, lat_hw, 4), jnp.bfloat16)
+        t = jax.ShapeDtypeStruct((2,), jnp.float32)
+        ctx = jax.ShapeDtypeStruct((2, 77, d), jnp.bfloat16)
+        pool = jax.ShapeDtypeStruct((2, pooled), jnp.bfloat16)
+        tids = jax.ShapeDtypeStruct((2, 6), jnp.bfloat16)
+
+        # the lora state carries concrete gate booleans at trace time in
+        # the real pipeline; abstract bools suffice for sharding/
+        # collective analysis as unet_apply treats them as arrays, not
+        # Python branches
+        def fn(p, st, lat, t, ctx, pool, tids):
+            lat = jax.lax.with_sharding_constraint(
+                lat, NamedSharding(mesh, P("frame")))
+            out = unet_apply(p, cfg, lat, t, (ctx, ctx, ctx), pool, tids,
+                             mode="both", state=st, num_frames=f,
+                             impl="auto")
+            return jax.lax.with_sharding_constraint(
+                out, NamedSharding(mesh, P("frame")))
+
+        with mesh:
+            lowered = jax.jit(fn).lower(params_s, state_s, lat, t, ctx,
+                                        pool, tids)
+            compiled = lowered.compile()
     txt = compiled.as_text()
     if args.dump:
         with open(args.dump, "w") as fh:
@@ -224,7 +313,9 @@ def main():
     wire = total * (n - 1) / n
     ici_s = wire / (args.ici_gbps * 1e9)
     report = {
+        "mode": "stage2_train_step" if args.train else "serving_unet_call",
         "mesh_devices": n,
+        "mesh": dict(mesh.shape),
         "frames": f,
         "latent": [rows, lat_hw, lat_hw, 4],
         "collective_ops": len(rows_out),

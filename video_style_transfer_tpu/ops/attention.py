@@ -78,7 +78,8 @@ def _sdpa_impl(q, k, v, *, impl: str):
         # per-shard (GSPMD cannot partition Pallas custom calls and
         # would replicate the operands otherwise)
         return rowsharded_kernel(
-            lambda q_, k_, v_: flash_attention(q_, k_, v_), q, k, v)
+            lambda q_, k_, v_: flash_attention(q_, k_, v_), q, k, v,
+            n_row_args=2)  # k and v are co-row-sharded with q
     if impl == "shortkv":
         return sdpa_shortkv(q, k, v)
     return sdpa_xla(q, k, v)

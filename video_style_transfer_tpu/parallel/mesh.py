@@ -100,11 +100,12 @@ def in_manual_region() -> bool:
     return _IN_MANUAL.get()
 
 
-def rowsharded_kernel(fn, x, *args):
+def rowsharded_kernel(fn, x, *args, n_row_args: int = 0):
     """Run row-local `fn(x, *args)` (first dim of x = independent
     batch rows, e.g. a Pallas kernel whose grid is per-row) under a
-    shard_map that splits x's rows over ('data', 'frame') and
-    replicates *args, when an enclosing `with mesh:` context is active.
+    shard_map that splits the rows of x AND of the first `n_row_args`
+    extra arguments over ('data', 'frame') while replicating the rest
+    (weights), when an enclosing `with mesh:` context is active.
     Identity call otherwise.
 
     Why: GSPMD cannot partition Pallas custom calls — under a sharded
@@ -135,8 +136,9 @@ def rowsharded_kernel(fn, x, *args):
 
     # check_vma=False: Pallas out_shapes carry no varying-mesh-axes
     # annotation (see models/motion.py)
-    return shard_map(local, mesh=mesh,
-                     in_specs=(spec,) + (P(),) * len(args),
+    in_specs = ((spec,) + (spec,) * n_row_args
+                + (P(),) * (len(args) - n_row_args))
+    return shard_map(local, mesh=mesh, in_specs=in_specs,
                      out_specs=spec, check_vma=False)(x, *args)
 
 
