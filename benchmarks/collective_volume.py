@@ -93,7 +93,16 @@ def parse_collectives(hlo_text: str):
             continue
         code = line.split(" metadata=")[0]
         for kind in COLLECTIVES:
-            if f" {kind}(" in code or f"= {kind}(" in code:
+            # sync spelling (`all-gather(`) or the async pair's -done op
+            # (`all-gather-done(`), whose LHS is the collective's result
+            # shape — the matching -start is deliberately NOT counted
+            # (its LHS is an (operand, result) tuple; counting both
+            # halves of the pair would double the bytes). Without the
+            # -done match a TPU-compiled dump with async collectives
+            # would be silently excluded from the audit.
+            if (f" {kind}(" in code or f"= {kind}(" in code
+                    or f" {kind}-done(" in code
+                    or f"= {kind}-done(" in code):
                 lhs = code.split("=", 1)
                 out = lhs[1].split(kind)[0] if len(lhs) > 1 else code
                 ensure(cur)["coll"].append((kind, shape_bytes(out)))

@@ -78,6 +78,37 @@ def build_problem():
     return step, state, batch
 
 
+def build_serving_problem():
+    """Deterministic tiny frame-parallel serving problem (motion UNet +
+    UnZipLoRA state + VAE): shared by the worker and the pytest parent
+    so the single-process reference decodes byte-identical inputs."""
+    import jax
+
+    from video_style_transfer_tpu.config import UNetConfig, VAEConfig
+    from video_style_transfer_tpu.lora.surgery import insert_unziplora
+    from video_style_transfer_tpu.models.unet import init_unet
+    from video_style_transfer_tpu.models.vae import init_vae
+    from video_style_transfer_tpu.pipelines.image import default_time_ids
+    from video_style_transfer_tpu.pipelines.sampling import Conditioning
+
+    cfg = UNetConfig.tiny(use_motion_modules=True)
+    params, state = insert_unziplora(
+        init_unet(jax.random.PRNGKey(20), cfg), jax.random.PRNGKey(21),
+        rank=4)
+    vcfg = VAEConfig.tiny()
+    vae = init_vae(jax.random.PRNGKey(22), vcfg)
+    d = cfg.cross_attention_dim
+
+    def cond_of(seed):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 2)
+        return Conditioning(
+            ctx=(jax.random.normal(ks[0], (1, 7, d)), None, None),
+            pooled=jax.random.normal(ks[1], (1, 32)),
+            time_ids=default_time_ids(16, 16, 1))
+
+    return cfg, params, state, vcfg, vae, cond_of(23), cond_of(24)
+
+
 def main(out_path: str):
     import jax
 
@@ -124,13 +155,60 @@ def main(out_path: str):
     loss = float(metrics["loss"])
     assert np.isfinite(loss), loss
 
+    # --- 4. frame-parallel SERVING across processes: the production
+    # video layout (all devices on 'frame') with the global mesh
+    # spanning both processes, so the motion module's frame-exchange
+    # all-to-all and the GN stat psums genuinely cross the gRPC
+    # transport. The shard_map motion path must dispatch (asserted via
+    # spy) — this is the multi-host half of the serving claim the
+    # single-process CPU-mesh tests can't cover. ---
+    from video_style_transfer_tpu.models import motion as mmotion
+    from video_style_transfer_tpu.pipelines.video import (
+        decode_video_frame_sharded, generate_video_latents)
+
+    scfg, up, ls, vcfg, vp, uncond, cond = build_serving_problem()
+    fmesh = Mesh(np.asarray(devs).reshape(1, 8), ("data", "frame"))
+    rep_f = NamedSharding(fmesh, P())
+    up_g = jax.device_put(up, rep_f)
+    vp_g = jax.device_put(vp, rep_f)
+
+    def serve(unet_p, vae_p, key):
+        lat = generate_video_latents(
+            unet_p, scfg, uncond, cond, key, num_frames=8, height=16,
+            width=16, num_steps=2, mode="both", state=ls,
+            dtype=jnp.float32, vae_scale_factor=2)
+        lat = jax.lax.with_sharding_constraint(
+            lat, NamedSharding(fmesh, P("frame")))
+        return decode_video_frame_sharded(vae_p, vcfg, lat, fmesh)
+
+    hits = []
+    orig_info = mmotion._sharded_mesh_info
+
+    def spy(b, nf, hw):
+        r = orig_info(b, nf, hw)
+        hits.append(r is not None)
+        return r
+
+    mmotion._sharded_mesh_info = spy
+    try:
+        with fmesh:
+            frames = jax.jit(serve, out_shardings=rep_f)(
+                up_g, vp_g, jax.random.PRNGKey(25))
+            frames.block_until_ready()
+    finally:
+        mmotion._sharded_mesh_info = orig_info
+    assert any(hits), "shard_map motion path never dispatched"
+    assert frames.shape == (8, 16, 16, 3), frames.shape
+    frames_np = np.asarray(frames)  # fully replicated -> local fetch
+
     if pid == 0:
         leaves = jax.tree.leaves(new_state.params)
         np.savez(out_path, loss=np.float64(loss),
-                 n_leaves=len(leaves),
+                 n_leaves=len(leaves), frames=frames_np,
                  **{f"leaf_{i}": np.asarray(a)
                     for i, a in enumerate(leaves)})
-    print(f"worker {pid}: psum ok, step loss={loss:.6f}", flush=True)
+    print(f"worker {pid}: psum ok, step loss={loss:.6f}, "
+          f"serving frames {frames_np.shape}", flush=True)
 
 
 if __name__ == "__main__":

@@ -147,3 +147,70 @@ def test_infer_video_cli_frame_parallel_subdivided(tmp_path):
                   "--output_dir", str(tmp_path)])
     assert len(outs) == 1
     assert os.path.getsize(outs[0]) > 0
+
+
+def test_decode_frame_sharded_with_pallas_kernel():
+    """Regression: decode_video_frame_sharded must trace with a Pallas
+    kernel inside its shard_map. At production resolution the VAE
+    mid-block attention takes the flash path (seq 16384, d=512 >=
+    _FLASH_MIN_SEQ on TPU), and Pallas out_shapes carry no
+    varying-mesh-axes annotation — without check_vma=False the
+    shard_map raises at trace time, invisible to tiny-shape smoke tests
+    whose attention stays on the short-kv path. Forces impl='pallas'
+    through the model attention layer on the CPU mesh and pins the
+    sharded output to the identically-forced unsharded decode."""
+    import functools
+
+    from video_style_transfer_tpu.config import VAEConfig
+    from video_style_transfer_tpu.models import attention as mattn
+    from video_style_transfer_tpu.models.vae import init_vae
+    from video_style_transfer_tpu.ops.attention import sdpa
+    from video_style_transfer_tpu.parallel.mesh import create_mesh
+    from video_style_transfer_tpu.pipelines.video import (
+        decode_video, decode_video_frame_sharded)
+
+    vcfg = VAEConfig.tiny()
+    vae = init_vae(jax.random.PRNGKey(0), vcfg)
+    lat = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 4),
+                            jnp.float32)
+    orig = mattn.sdpa
+    mattn.sdpa = functools.partial(sdpa, impl="pallas")
+    try:
+        mesh = create_mesh(jax.devices()[:4])  # all on 'frame'
+        with mesh:
+            sharded = jax.jit(lambda v, z: decode_video_frame_sharded(
+                v, vcfg, z, mesh))(vae, lat)
+        plain = decode_video(vae, vcfg, lat, chunk=1)
+    finally:
+        mattn.sdpa = orig
+    assert sharded.shape == plain.shape == (4, 16, 16, 3)
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(plain))
+
+
+def test_infer_video_cli_activates_mesh_context(tmp_path, monkeypatch):
+    """Regression: the serving CLI must jit-trace INSIDE `with mesh:` —
+    the shard_map motion module, context_constraint pins, and rowsharded
+    Pallas wrappers all dispatch off parallel.mesh.context_mesh(), so a
+    trace outside the context silently falls back to plain GSPMD (the
+    full-activation all-gather per motion module the collective audit
+    measures). Asserts the motion module's mesh dispatch fires during a
+    --frame_parallel run."""
+    from video_style_transfer_tpu.cli.infer_video import main as infer
+    from video_style_transfer_tpu.models import motion as mmotion
+
+    hits = []
+    orig = mmotion._sharded_mesh_info
+
+    def spy(b, num_frames, hw):
+        out = orig(b, num_frames, hw)
+        hits.append(out is not None)
+        return out
+
+    monkeypatch.setattr(mmotion, "_sharded_mesh_info", spy)
+    outs = infer(["--smoke", "--prompt", "a sbu horse in szn style",
+                  "--modes", "both", "--frame_parallel", "4",
+                  "--output_dir", str(tmp_path)])
+    assert len(outs) == 1 and os.path.getsize(outs[0]) > 0
+    assert hits, "motion mesh dispatch never consulted"
+    assert any(hits), ("context_mesh() was None at trace time — the CLI "
+                      "jitted outside `with mesh:`")

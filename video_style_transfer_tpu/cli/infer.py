@@ -14,6 +14,12 @@ import jax.numpy as jnp
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--pretrained_model_name_or_path", default=None)
+    p.add_argument("--pretrained_vae_model_name_or_path", default=None,
+                   help="separate VAE checkpoint directory (the "
+                        "reference swaps in e.g. sdxl-vae-fp16-fix, "
+                        "train_unziplora.py:1252-1261); decode parity "
+                        "requires generating with the same VAE the "
+                        "reference used")
     p.add_argument("--unziplora_name_or_path", default=None)
     p.add_argument("--unziplora_name", default="unziplora")
     p.add_argument("--style_name_or_path", default=None,
@@ -93,7 +99,11 @@ def build_parser():
     return p
 
 
-def main(argv=None):
+def main(argv=None, bundle=None):
+    """bundle: an optional prebuilt common.ModelBundle — callers that
+    already ran common.load_models (the parity-gate runbook's load
+    stage, cli/verify_parity.py) pass it through so the 10 GB checkpoint
+    is read and converted once, not twice."""
     args = build_parser().parse_args(argv)
     from video_style_transfer_tpu.cli import common
     from video_style_transfer_tpu.data.video_io import save_image
@@ -102,11 +112,13 @@ def main(argv=None):
     from video_style_transfer_tpu.lora.surgery import insert_unziplora
 
     os.makedirs(args.output_dir, exist_ok=True)
-    configs = (common.tiny_checkpoint_configs()
-               if args.config_preset == "tiny" else None)
-    bundle = common.load_models(args.pretrained_model_name_or_path,
-                                smoke=args.smoke, motion=False,
-                                configs=configs)
+    if bundle is None:
+        configs = (common.tiny_checkpoint_configs()
+                   if args.config_preset == "tiny" else None)
+        bundle = common.load_models(
+            args.pretrained_model_name_or_path, smoke=args.smoke,
+            motion=False, configs=configs,
+            vae_path=args.pretrained_vae_model_name_or_path)
     res = args.resolution if not args.smoke else 16
     height = (args.height or res) if not args.smoke else res
     width = (args.width or res) if not args.smoke else res
@@ -208,6 +220,13 @@ def main(argv=None):
                              dtype=jnp.dtype(args.vae_dtype))
 
     run = jax.jit(_gen)
+    # trace/execute inside the mesh context when one exists so
+    # parallel.mesh.context_mesh() consumers (the rowsharded Pallas
+    # wrappers, context_constraint pins) see it — without the context
+    # GSPMD replicates every Pallas custom call's operands (audited in
+    # benchmarks/collective_volume.py)
+    import contextlib
+    mesh_ctx = mesh if mesh is not None else contextlib.nullcontext()
 
     # one (seed, draw) job per output image (reference infer.py:99
     # generates --num per seed); --dp serves dp jobs per call, one per
@@ -221,7 +240,8 @@ def main(argv=None):
                 for s, i in chunk]
         keys += [keys[-1]] * (dp - len(chunk))
         karg = keys[0] if dp == 1 else jnp.stack(keys)
-        imgs = jax.device_get(run(params, uncond, cond, karg))
+        with mesh_ctx:
+            imgs = jax.device_get(run(params, uncond, cond, karg))
         if args.watermark:
             from video_style_transfer_tpu.utils.watermark import \
                 apply_watermark

@@ -238,7 +238,20 @@ def main(argv=None):
             fparams = jax.device_put(
                 fparams, NamedSharding(mesh, P()))
         run = jax.jit(run_fn)
-        video = run(fparams, uncond, cond, jax.random.PRNGKey(args.seed))
+        if mesh is None:
+            video = run(fparams, uncond, cond,
+                        jax.random.PRNGKey(args.seed))
+        else:
+            # trace INSIDE the mesh context: the shard_map motion module,
+            # the context_constraint reshard pins, and the rowsharded
+            # Pallas wrappers all key off parallel.mesh.context_mesh().
+            # Without it the trace falls back to plain GSPMD — audited at
+            # a full-activation all-gather per motion module
+            # (benchmarks/collective_volume.py), erasing the
+            # frame-parallel speedup.
+            with mesh:
+                video = run(fparams, uncond, cond,
+                            jax.random.PRNGKey(args.seed))
         path = save_video(list(jax.device_get(video)),
                           os.path.join(args.output_dir, f"{mode}.mp4"),
                           fps=args.fps)

@@ -268,7 +268,7 @@ def main(argv=None):
 
     # ---- stage 2: load ------------------------------------------------
     try:
-        common.load_models(
+        bundle = common.load_models(
             args.pretrained_model_name_or_path, configs=configs,
             vae_path=args.pretrained_vae_model_name_or_path)
         report["stages"]["load"] = {"ok": True}
@@ -298,11 +298,20 @@ def main(argv=None):
         "--output_dir", args.output_dir,
         "--seeds", *[str(s) for s in args.seeds],
     ]
+    if args.pretrained_vae_model_name_or_path:
+        # keep the flag on the argv too (for report reproducibility) even
+        # though the prebuilt bundle already carries the override VAE —
+        # the reference swaps in e.g. sdxl-vae-fp16-fix and decode parity
+        # requires generating with the same VAE it used
+        gen_argv += ["--pretrained_vae_model_name_or_path",
+                     args.pretrained_vae_model_name_or_path]
     if args.unziplora_name_or_path:
         gen_argv += ["--unziplora_name_or_path",
                      args.unziplora_name_or_path,
                      "--unziplora_name", args.unziplora_name]
-    outs = infer.main(gen_argv)
+    # the load-stage bundle is passed through so the checkpoint is read
+    # and converted once, not twice (it already has the VAE override)
+    outs = infer.main(gen_argv, bundle=bundle)
     report["stages"]["generate"] = {"ok": True, "outputs": outs,
                                     "mode": mode}
     print(f"[3/4] generate: {len(outs)} image(s) -> {args.output_dir}")

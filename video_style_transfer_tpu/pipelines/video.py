@@ -102,8 +102,13 @@ def decode_video_frame_sharded(vae_params, vae_cfg, latents, mesh, *,
         with manual_region():
             return decode_video(v, vae_cfg, z, chunk=1, dtype=dtype)
 
+    # check_vma=False: at production resolution the decoder's mid-block
+    # attention takes the Pallas flash path, whose out_shapes carry no
+    # varying-mesh-axes annotation (same reason as models/motion.py and
+    # parallel/mesh.rowsharded_kernel)
     out = shard_map(_local, mesh=mesh, in_specs=(P(), P("frame")),
-                    out_specs=P("frame"))(vae_params, latents)
+                    out_specs=P("frame"), check_vma=False)(
+                        vae_params, latents)
     return out[:f]
 
 
