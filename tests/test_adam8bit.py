@@ -92,7 +92,8 @@ def test_state_is_int8():
     g = {"w": jnp.ones((BLOCK * 4,)) * 0.1}
     _, st = tx.update(g, st, params)
     assert st.m["w"]["q"].dtype == jnp.int8
-    assert st.v["w"]["q"].dtype == jnp.int8
+    # v's sqrt is non-negative on a log-spaced unsigned code
+    assert st.v["w"]["q"].dtype == jnp.uint8
     assert st.m["w"]["s"].dtype == jnp.float32
     # storage: 1 byte + 4/BLOCK per element per moment
     bytes_q = st.m["w"]["q"].size + st.m["w"]["s"].size * 4
@@ -114,3 +115,44 @@ def test_jit_and_grad_accum_compatible():
     p, st = step(params, st)
     p, st = step(p, st)
     assert np.isfinite(np.asarray(p["w"])).all()
+
+
+def test_sqrtv_log_code_roundtrip():
+    """The v code has ~2.3% max relative error across 5 decades of
+    sqrt(v) within one block, and exact zero survives."""
+    from video_style_transfer_tpu.training.adam8bit import (
+        _deq_sqrtv, _quantize_sqrtv)
+    x = jnp.concatenate([
+        jnp.zeros((8,)),
+        jnp.logspace(-5, 0, BLOCK - 8)]).reshape(1, BLOCK)
+    back = np.asarray(_deq_sqrtv(_quantize_sqrtv(x), x.shape))
+    xb = np.asarray(x)
+    assert (back[xb == 0] == 0).all()
+    nz = xb > 0
+    rel = np.abs(back[nz] - xb[nz]) / xb[nz]
+    assert rel.max() < 0.025, rel.max()
+
+
+def test_no_zero_collapse_in_outlier_block():
+    """Regression: a coordinate with tiny v sharing a block with a v
+    outlier must NOT have its second-moment history erased (the old
+    linear absmax code rounded sqrt(v)=1e-5 in a block whose max was
+    1e-2 to exactly 0, letting a retained first moment divide by ~eps —
+    a ~1000x over-step vs exact Adam)."""
+    tx8 = scale_by_adam8bit(min_8bit_size=1)
+    txf = optax.scale_by_adam()
+    n = BLOCK
+    params = jnp.zeros((n,))
+    s8, sf = tx8.init(params), txf.init(params)
+    # build history: coordinate 0 sees large grads (the block outlier),
+    # coordinate 1 sees small-but-real grads, then both go near-silent
+    for i in range(20):
+        g = jnp.zeros((n,)).at[0].set(1.0).at[1].set(1e-4)
+        u8, s8 = tx8.update(g, s8, params)
+        uf, sf = txf.update(g, sf, params)
+    g = jnp.zeros((n,)).at[1].set(1e-7)  # momentum remains, v history must not vanish
+    u8, s8 = tx8.update(g, s8, params)
+    uf, sf = txf.update(g, sf, params)
+    exact = float(np.abs(np.asarray(uf)[1]))
+    got = float(np.abs(np.asarray(u8)[1]))
+    assert got < exact * 2.0 + 1e-12, (got, exact, got / max(exact, 1e-30))

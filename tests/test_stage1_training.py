@@ -165,3 +165,78 @@ def test_full_schedule_through_tail():
     lp = tree_get(s.params, path)["lora"]
     m = np.asarray(lp["merge_content"])
     assert m.min() >= 0.0 and m.max() <= 1.0
+
+
+def test_prodigy_honors_per_group_lr():
+    """Prodigy must preserve the per-group lr asymmetry: prodigyopt
+    reads each torch param group's "lr" as the multiplier on the
+    adapted step (the reference builds groups with content/style/
+    weight_learning_rate, train_unziplora.py:1546-1580,1661-1671 —
+    merger lr is 100x the LoRA lr in train.sh). Regression for the
+    round-4 review finding that the optax path hardwired 1.0."""
+    cfg = UNetConfig.tiny()
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    params, _ = insert_unziplora(params, jax.random.PRNGKey(1), rank=4)
+    opt = stage1.make_optimizer(params, lr_content=1e-4, lr_style=1e-4,
+                                lr_merger=1e-2, optimizer="prodigy",
+                                total_steps=10, max_grad_norm=1e9)
+    st = opt.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    upd, _ = opt.update(grads, st, params)
+
+    path = None
+    from video_style_transfer_tpu.lora.surgery import layer_assignments
+    path = next(iter(layer_assignments(
+        params, {}, {}, num_down_blocks=2, num_up_blocks=2,
+        layers_per_block=1)))
+    lu = tree_get(upd, path)["lora"]
+    merger_mag = float(jnp.mean(jnp.abs(lu["merge_content"])))
+    lora_mag = float(jnp.mean(jnp.abs(lu["content"]["down"])))
+    assert merger_mag > 0 and lora_mag > 0
+    ratio = merger_mag / lora_mag
+    assert 50.0 < ratio < 200.0, ratio
+
+
+def test_stage2_train_step_threads_cfg_dropout():
+    """make_train_step must pass cfg_dropout through to stage2_loss —
+    regression for the round-4 review finding that --cfg_dropout was
+    parsed but silently ignored (training stayed at the 0.1 default)."""
+    from video_style_transfer_tpu.lora.surgery import insert_temporal_lora
+    from video_style_transfer_tpu.training import stage2
+
+    cfg2 = UNetConfig.tiny(use_motion_modules=True)
+    key = jax.random.PRNGKey(0)
+    params = insert_temporal_lora(init_unet(key, cfg2), key, rank=2)
+    sched = make_schedule()
+    xdim = cfg2.cross_attention_dim
+    pdim = (cfg2.projection_class_embeddings_input_dim
+            - 6 * cfg2.addition_time_embed_dim)
+    ks = jax.random.split(jax.random.PRNGKey(1), 5)
+    batch = {
+        "latents": jax.random.normal(ks[0], (1, 2, 8, 8, 4)),
+        "ctx": jax.random.normal(ks[1], (1, 7, xdim)),
+        "pooled": jax.random.normal(ks[2], (1, pdim)),
+        "time_ids": jnp.asarray([[16, 16, 0, 0, 16, 16]], jnp.float32),
+        "uncond_ctx": jax.random.normal(ks[3], (1, 7, xdim)),
+        "uncond_pooled": jax.random.normal(ks[4], (1, pdim)),
+    }
+    opt = stage1.make_optimizer(params, total_steps=4)
+    lkey = jax.random.PRNGKey(7)
+
+    def loss_at(dropout):
+        step = stage2.make_train_step(cfg2, sched, opt, [],
+                                      lambda_orth=0.0,
+                                      cfg_dropout=dropout, remat=False)
+        st = stage2.init_state(params, opt)
+        _, metrics = step(st, batch, lkey)
+        return float(metrics["loss"])
+
+    l_drop = loss_at(1.0)
+    l_keep = loss_at(0.0)
+    l_direct, _ = stage2.stage2_loss(
+        params, cfg2, sched,
+        dict(batch, ctx=batch["uncond_ctx"],
+             pooled=batch["uncond_pooled"]),
+        lkey, pairs=[], lambda_orth=0.0, cfg_dropout=0.0, remat=False)
+    assert abs(l_drop - float(l_direct)) < 1e-5 * max(1.0, abs(l_drop))
+    assert l_drop != l_keep

@@ -239,7 +239,7 @@ def main(argv=None):
     sched = make_schedule()
     step_fn = jax.jit(stage2.make_train_step(
         bundle.unet_cfg, sched, opt, pairs, mask=mask,
-        lambda_orth=args.lambda_orth,
+        lambda_orth=args.lambda_orth, cfg_dropout=args.cfg_dropout,
         prediction_type=args.prediction_type, lora_state=lora_state,
         remat=not args.smoke, grad_accum=accum))
     state = stage2.init_state(params, opt)

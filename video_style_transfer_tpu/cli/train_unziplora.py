@@ -551,6 +551,19 @@ def main(argv=None):
         steps_per_epoch=updates_per_epoch,
         column_ratio=args.column_ratio, avoid=args.with_no_overlap_first,
         finetune_mask=args.with_finetune_mask)
+    if sep.enabled and updates_per_epoch >= sep.sampled_steps:
+        # exact reference arithmetic quirk (train_unziplora.py:
+        # 2146-2171): with pos = step % sampled_steps always <
+        # num_update_steps_per_epoch, the selection branch is
+        # unreachable — masks/orth loss silently never engage. The
+        # reference says nothing; warn so a large dataset (or high
+        # --repeats) doesn't quietly disable the requested separation.
+        print(f"WARNING: column separation will never select — "
+              f"updates/epoch ({updates_per_epoch}) >= sampled_steps "
+              f"({sep.sampled_steps} = ceil(max_steps/sample_times)). "
+              f"Raise --max_train_steps or lower --sample_times/"
+              f"--repeats/dataset size (same arithmetic as the "
+              f"reference state machine).")
 
     opt = stage1.make_optimizer(
         params, lr_content=args.content_learning_rate,

@@ -187,7 +187,14 @@ def cone_matrix(params, grads, branch: str):
 
         W  = down @ up                       (composed, no merger)
         dW = (d_down @ up + down @ d_up) * merge + W * d_merge
-    """
+
+    Note: in every LIVE reference call the merger term is zero — cone is
+    only evaluated during/at the end of a sampling window, where the
+    mergers are frozen (requires_grad=False since the reset,
+    train_unziplora.py:2146-2148) so merge_matrix.grad is None/zeros and
+    :126-131's None branch applies. Select-time callers must pass a zero
+    g_merge to match (training/stage1.column_sep_update does); the full
+    product rule stays available for diagnostics."""
     down, up = params[branch]["down"], params[branch]["up"]
     g_down, g_up = grads[branch]["down"], grads[branch]["up"]
     merge = params[f"merge_{branch}"]

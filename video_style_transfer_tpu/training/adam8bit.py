@@ -6,14 +6,19 @@ moments as blockwise-quantized 8-bit tensors to cut optimizer HBM 4x.
 bitsandbytes has no TPU build; this module re-derives the idea as a pure
 optax transform so the flag is real here too:
 
-- both moments are stored as int8 with one fp32 scale per 256-element
-  block (bnb's default block size);
+- both moments are stored as 8-bit codes with one fp32 scale per
+  256-element block (bnb's default block size);
 - the first moment uses symmetric linear absmax quantization
-  (q = round(127 * m / absmax));
-- the second moment is non-negative with a huge dynamic range, so we
-  store ``sqrt(v)`` (linear absmax over the sqrt compresses the range
-  like bnb's dynamic map does; dequantization squares it back) — the
-  relative error of v is ~2x the sqrt's quantization error;
+  (q = round(127 * m / absmax)) — small-m collapse to 0 is SAFE here
+  (the update is proportional to m, so erasure under-steps);
+- the second moment stores ``sqrt(v)`` on a LOG-SPACED unsigned code:
+  code 0 is exact zero, codes 1..255 cover [absmax/1e5, absmax]
+  geometrically (~4.6%/code in sqrt, ~2.3% max relative error after
+  midpoint rounding; values below the floor clamp UP to it). Linear
+  absmax here would round small sqrt(v) in an outlier block to exactly
+  0, erasing the moment history and letting a retained m divide by
+  ~eps — up to a ~1e3x Adam over-step; the log code has no zero
+  collapse, which is why bnb uses a nonlinear dynamic map for v;
 - leaves smaller than ``min_8bit_size`` keep exact fp32 moments
   (bnb does the same; tiny tensors gain nothing and lose precision).
 
@@ -68,6 +73,35 @@ def _deq(state, shape):
     return b.reshape(-1)[:n].reshape(shape)
 
 
+# sqrt(v) dynamic range per block: codes 1..255 span [absmax/R, absmax]
+_V_RANGE = 1e5
+_V_LOGR = 11.512925  # ln(1e5)
+
+
+def _quantize_sqrtv(x):
+    """Unsigned log-spaced 8-bit for the non-negative sqrt(v): code 0 is
+    exact zero; codes 1..255 geometric in [absmax/_V_RANGE, absmax].
+    Sub-floor values clamp UP to the floor (a conservative under-step);
+    nothing nonzero ever dequantizes to zero."""
+    b, n = _blocked(x.astype(jnp.float32))
+    s = jnp.max(b, axis=1, keepdims=True)          # x >= 0
+    safe = jnp.where(s > 0, s, 1.0)
+    r = jnp.maximum(b / safe, 1.0 / _V_RANGE)      # (0, 1] after clamp
+    q = jnp.round(jnp.log(r) / _V_LOGR * 254.0 + 255.0)
+    q = jnp.where(b > 0, q, 0.0).astype(jnp.uint8)
+    return {"q": q, "s": s}
+
+
+def _deq_sqrtv(state, shape):
+    n = 1
+    for d in shape:
+        n *= d
+    q = state["q"].astype(jnp.float32)
+    val = state["s"] * jnp.exp((q - 255.0) / 254.0 * _V_LOGR)
+    b = jnp.where(q > 0, val, 0.0)
+    return b.reshape(-1)[:n].reshape(shape)
+
+
 def scale_by_adam8bit(b1: float = 0.9, b2: float = 0.999,
                       eps: float = 1e-8,
                       min_8bit_size: int = 4096) -> optax.GradientTransformation:
@@ -77,13 +111,13 @@ def scale_by_adam8bit(b1: float = 0.9, b2: float = 0.999,
         return p.size >= min_8bit_size
 
     def init_fn(params):
-        def init_leaf(p):
+        def init_leaf(p, quant):
             z = jnp.zeros(p.shape, jnp.float32)
             if quantized(p):
-                return _quantize(z)
+                return quant(z)
             return z
-        m = jax.tree.map(init_leaf, params)
-        v = jax.tree.map(init_leaf, params)
+        m = jax.tree.map(lambda p: init_leaf(p, _quantize), params)
+        v = jax.tree.map(lambda p: init_leaf(p, _quantize_sqrtv), params)
         return ScaleByAdam8bitState(jnp.zeros([], jnp.int32), m, v)
 
     def update_fn(updates, state, params=None):
@@ -96,7 +130,7 @@ def scale_by_adam8bit(b1: float = 0.9, b2: float = 0.999,
             q = quantized(g)
             if q:
                 m = _deq(m_st, g.shape)
-                sv = _deq(v_st, g.shape)      # stores sqrt(v)
+                sv = _deq_sqrtv(v_st, g.shape)  # stores sqrt(v), log code
                 v = sv * sv
             else:
                 m, v = m_st, v_st
@@ -104,7 +138,7 @@ def scale_by_adam8bit(b1: float = 0.9, b2: float = 0.999,
             v = b2 * v + (1.0 - b2) * g32 * g32
             out = (m / c1) / (jnp.sqrt(v / c2) + eps)
             if q:
-                return out, _quantize(m), _quantize(jnp.sqrt(v))
+                return out, _quantize(m), _quantize_sqrtv(jnp.sqrt(v))
             return out, m, v
 
         leaves, treedef = jax.tree_util.tree_flatten(updates)

@@ -124,12 +124,18 @@ def make_optimizer(params, *, lr_content: float = 5e-5,
 
     def group(lr):
         if optimizer == "prodigy":
-            # prodigy adapts the step size itself; the schedule applies
-            # multiplicatively on top (reference passes the optimizer to
-            # get_scheduler the same way)
+            # prodigy adapts the step size itself, but the per-group lr
+            # still multiplies the adapted step (prodigyopt reads each
+            # torch param group's "lr"; the reference builds groups with
+            # lr = content/style/weight_learning_rate,
+            # train_unziplora.py:1546-1580,1661-1671 — preserving e.g.
+            # the 100x merger-vs-LoRA ratio even under prodigy). The
+            # schedule composes multiplicatively on top, like
+            # get_scheduler over the torch optimizer. Reference users
+            # are warned to pass lr ~1.0 with prodigy; that choice is
+            # theirs, not hardwired here.
             return optax.contrib.prodigy(
-                learning_rate=lr_sched(1.0) if schedule != "constant"
-                else 1.0,
+                learning_rate=lr_sched(lr),
                 betas=(b1, b2), beta3=prodigy_beta3, eps=eps,
                 weight_decay=weight_decay,
                 safeguard_warmup=prodigy_safeguard_warmup)
@@ -172,7 +178,10 @@ def stage1_loss(params, unet_cfg: UNetConfig, sched, batch, key, *,
                 impl: str = "auto", remat: bool = True):
     """batch:
       latents       (B, h, w, 4)    VAE-encoded instance image latents
-      ctx/ctx_c/ctx_s (1 or B, S, D) combined/content/style embeddings
+      ctx/ctx_c/ctx_s (B, S, D)     combined/content/style embeddings —
+                    batch dim must MATCH latents (unet_apply broadcasts
+                    over frames, not over batch; the CLI jnp.repeats a
+                    shared prompt to B, cli/train_unziplora.py)
       pooled        (B, pooled)     time_ids (B, 6)
       optional prior_content / prior_style: dicts with latents/ctx/pooled/
       time_ids for dual prior preservation (reference :2085-2132)
@@ -240,9 +249,12 @@ def _phase(step, cfg: ColumnSepConfig):
                                   ~in_tail)
     at_select = jnp.logical_and(
         jnp.logical_and(pos >= ne, (step - ne) % ss == 0), ~in_tail)
-    zeroout = jnp.logical_and(
-        ~in_tail & ~is_reset & ~in_sampling & ~at_select,
-        jnp.asarray(True))
+    # 'sampling' gates no behavior itself (merger freezing across the
+    # window is carried by the merger_on flag set at reset) — it is
+    # returned for metrics/phase logging only; the reference's sampling
+    # branch holds only the dead --with_accumulate_cone path
+    # (train_unziplora.py:2152-2157, overwritten at selection).
+    zeroout = ~in_tail & ~is_reset & ~in_sampling & ~at_select
     return {"tail": in_tail, "reset": is_reset, "sampling": in_sampling,
             "select": at_select, "zeroout": zeroout}
 
@@ -271,6 +283,18 @@ def column_sep_update(lora_state, params, grads, step,
             lp = tree_get(params, path)["lora"]
             lg = tree_get(grads, path)["lora"]
             st = tree_get(lora_state, path)
+            # At selection the reference's mergers are frozen (they were
+            # requires_grad=False'd at the sampling reset,
+            # train_unziplora.py:2146-2148), so merge_matrix.grad is
+            # None/zero and get_unziplora_cone's merger term
+            # (unziplora_linear_layer.py:127-141) contributes NOTHING in
+            # every live call. Functional grads always exist here, so
+            # zero them explicitly — otherwise the cone gains a live
+            # w*g_merge term the reference never has, skewing which
+            # columns cross the sparsity threshold.
+            lg = {**lg,
+                  "merge_content": jnp.zeros_like(lg["merge_content"]),
+                  "merge_style": jnp.zeros_like(lg["merge_style"])}
 
             # cone column scores from this step's grads (select-time,
             # accumulate=False semantics: overwrite, reference

@@ -178,7 +178,7 @@ def stage2_loss(params, unet_cfg: UNetConfig, sched, batch, key, *,
 
 
 def make_train_step(unet_cfg: UNetConfig, sched, optimizer, pairs, *,
-                    lambda_orth: float = 1e-4,
+                    lambda_orth: float = 1e-4, cfg_dropout: float = 0.1,
                     prediction_type: str = "epsilon", mode: str = "both",
                     lora_state=None, impl: str = "auto", remat=True,
                     mask=None, grad_accum: int = 1):
@@ -223,7 +223,7 @@ def make_train_step(unet_cfg: UNetConfig, sched, optimizer, pairs, *,
                 p = jax.tree_util.tree_unflatten(treedef, full)
                 return stage2_loss(
                     p, unet_cfg, sched, b, k, pairs=pairs,
-                    lambda_orth=lambda_orth,
+                    lambda_orth=lambda_orth, cfg_dropout=cfg_dropout,
                     prediction_type=prediction_type,
                     mode=mode, state=lora_state, impl=impl, remat=remat)
             return jax.value_and_grad(loss_fn, has_aux=True)(train_leaves)
