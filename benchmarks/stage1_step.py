@@ -41,6 +41,12 @@ def main():
                          "(full-fp32 params are 11.7 GB and exceed one "
                          "chip's HBM; LoRA math is fp32 in all modes)")
     ap.add_argument("--no_remat", action="store_true")
+    ap.add_argument("--optimizer", default="adamw",
+                    choices=["adamw", "adamw8bit", "prodigy"],
+                    help="A/B the optimizer family; adamw8bit measures "
+                         "the blockwise-quantized moments' per-step "
+                         "dequant/requant cost and reports the "
+                         "optimizer-state HBM cut")
     args = ap.parse_args()
 
     try:
@@ -82,7 +88,8 @@ def main():
     sep = stage1.ColumnSepConfig(enabled=True, max_steps=600,
                                  sample_times=3, steps_per_epoch=1,
                                  column_ratio=0.1)
-    opt = stage1.make_optimizer(params, total_steps=600)
+    opt = stage1.make_optimizer(params, total_steps=600,
+                                optimizer=args.optimizer)
     step = stage1.make_train_step(cfg, make_schedule(), opt, sep_cfg=sep,
                                   assignments=assignments,
                                   mask=stage1.trainable_mask(params),
@@ -123,12 +130,17 @@ def main():
         _ = float(m["loss"])
         times.append(time.time() - t0)
 
+    opt_bytes = sum(x.size * x.dtype.itemsize
+                    for x in jax.tree.leaves(st.opt_state)
+                    if hasattr(x, "dtype"))
     print(json.dumps({
         "metric": f"stage1_train_step_b{args.batch}_{res}px_"
                   f"{args.dtype}_sec",
         "value": round(min(times), 4),
         "unit": "sec/step/chip",
         "remat": not args.no_remat,
+        "optimizer": args.optimizer,
+        "opt_state_mb": round(opt_bytes / 1e6, 1),
         "all_trials": [round(x, 4) for x in times],
     }))
 
