@@ -21,6 +21,13 @@ import json
 import time
 
 import jax
+
+# the container sitecustomize force-registers the TPU plugin via
+# jax.config.update, overriding a JAX_PLATFORMS=cpu env var; honor the
+# env var (CPU smoke runs) before any backend query locks it in
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 
@@ -33,7 +40,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--trials", type=int, default=5,
+                    help="min-of-N protocol (N>=5 resolves sub-5% deltas\n                         through the tunnel spread; PERF.md round 5)")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32", "mixed"],
@@ -96,6 +104,12 @@ def main():
                                   remat=not args.no_remat)
     jit_step = jax.jit(step, donate_argnums=0)
     st = stage1.init_state(params, lora_state, opt)
+    if args.optimizer == "prodigy":
+        # optax.contrib.prodigy's init aliases params0 to the params
+        # buffer; donate_argnums=0 would then donate the same buffer
+        # twice ("Attempt to donate the same buffer twice")
+        st = jax.tree.map(
+            lambda x: jnp.copy(x) if hasattr(x, "dtype") else x, st)
 
     xdim = cfg.cross_attention_dim
     pooled_dim = (cfg.projection_class_embeddings_input_dim
@@ -133,15 +147,32 @@ def main():
     opt_bytes = sum(x.size * x.dtype.itemsize
                     for x in jax.tree.leaves(st.opt_state)
                     if hasattr(x, "dtype"))
+    sec = min(times)
+    # MFU from the compiled step's own cost analysis
+    try:
+        ca = jit_step.lower(st, batch_for(0),
+                            jax.random.PRNGKey(0)).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        flops = None
+    perf = {}
+    if flops:
+        perf = {"tflops": round(flops / 1e12, 2),
+                "tflops_per_s": round(flops / sec / 1e12, 2),
+                "mfu": round(flops / sec / 197e12, 4)}  # v5e bf16 peak
     print(json.dumps({
         "metric": f"stage1_train_step_b{args.batch}_{res}px_"
                   f"{args.dtype}_sec",
-        "value": round(min(times), 4),
+        "value": round(sec, 4),
         "unit": "sec/step/chip",
         "remat": not args.no_remat,
         "optimizer": args.optimizer,
         "opt_state_mb": round(opt_bytes / 1e6, 1),
         "all_trials": [round(x, 4) for x in times],
+        "spread": round(max(times) - sec, 4),
+        **perf,
     }))
 
 

@@ -36,6 +36,51 @@ def test_rotation(tmp_path):
     assert "checkpoint-2" in names and "checkpoint-3" in names
 
 
+def test_kill_mid_save_never_loses_the_only_checkpoint(tmp_path,
+                                                       monkeypatch):
+    """Preemption safety (SURVEY §5 'preemption-safe saves'): a save
+    that dies mid-write must leave the previous good checkpoint on disk
+    and restorable, even at total_limit=1 — rotation only prunes AFTER
+    the new checkpoint is committed."""
+    state = {"x": jnp.arange(3.0)}
+    ckpt.save_checkpoint(str(tmp_path), state, 1, total_limit=1)
+
+    class Boom(RuntimeError):
+        pass
+
+    class DyingCkptr:
+        def save(self, path, s):
+            # what a kill leaves behind: orbax's uncommitted tmp dir
+            # (the atomic rename to `checkpoint-<step>` never happened)
+            os.makedirs(path + ".orbax-checkpoint-tmp-1700000000")
+            raise Boom()
+
+        def wait_until_finished(self):
+            pass
+
+    monkeypatch.setattr(ckpt, "_ckptr", DyingCkptr)
+    with pytest.raises(Boom):
+        ckpt.save_checkpoint(str(tmp_path), state, 2, total_limit=1)
+    monkeypatch.undo()
+
+    latest = ckpt.latest_checkpoint(str(tmp_path))
+    assert latest is not None and latest.endswith("checkpoint-1")
+    restored = ckpt.restore_checkpoint(
+        latest, {"x": jnp.zeros(3)})
+    np.testing.assert_array_equal(np.asarray(restored["x"]),
+                                  np.arange(3.0))
+
+
+def test_latest_checkpoint_skips_uncommitted_tmp_dirs(tmp_path):
+    """A process killed mid-save leaves `checkpoint-N.orbax-...-tmp-*`;
+    resume must pick the newest COMMITTED checkpoint, not the corpse."""
+    state = {"x": jnp.arange(2.0)}
+    good = ckpt.save_checkpoint(str(tmp_path), state, 5)
+    os.makedirs(os.path.join(
+        str(tmp_path), "checkpoint-9.orbax-checkpoint-tmp-1700000001"))
+    assert ckpt.latest_checkpoint(str(tmp_path)) == good
+
+
 @pytest.mark.slow
 def test_stage1_artifacts(tmp_path):
     cfg = UNetConfig.tiny()

@@ -32,20 +32,48 @@ def _ckptr():
 def save_checkpoint(ckpt_dir: str, state: Any, step: int, *,
                     total_limit: Optional[int] = None):
     """Write <ckpt_dir>/checkpoint-<step>; rotate to keep the newest
-    `total_limit` (reference rotation train_unziplora.py:2190-2217)."""
+    `total_limit` INCLUDING the new one (reference rotation semantics,
+    train_unziplora.py:2190-2217).
+
+    Preemption safety: the new checkpoint is committed (orbax writes to
+    a tmp dir and atomically renames on completion) BEFORE any old one
+    is deleted — a kill at any point leaves at least the previous good
+    checkpoint on disk, and `latest_checkpoint` never sees a
+    half-written directory (the orbax tmp name doesn't match the
+    checkpoint-<step> pattern)."""
     os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.abspath(os.path.join(ckpt_dir, f"checkpoint-{step}"))
+    ckptr = _ckptr()
+    ckptr.save(path, state)
+    ckptr.wait_until_finished()
     if total_limit is not None:
         existing = sorted(
             (d for d in os.listdir(ckpt_dir) if
              re.fullmatch(r"checkpoint-\d+", d)),
             key=lambda d: int(d.split("-")[1]))
-        while len(existing) >= total_limit:
+        while len(existing) > total_limit:
             shutil.rmtree(os.path.join(ckpt_dir, existing.pop(0)))
-    path = os.path.abspath(os.path.join(ckpt_dir, f"checkpoint-{step}"))
-    ckptr = _ckptr()
-    ckptr.save(path, state)
-    ckptr.wait_until_finished()
     return path
+
+
+def save_checkpoint_main_process(ckpt_dir: str, state: Any, step: int, *,
+                                 total_limit: Optional[int] = None):
+    """Multi-process-safe checkpoint write: only process 0 touches the
+    filesystem (the reference gates on accelerator.is_main_process,
+    train_unziplora.py:2187); other processes return None immediately.
+    Replicated device arrays are fetched to host first — handing orbax
+    a multi-process global jax.Array would trigger its collective
+    multi-host save protocol, which deadlocks when only one process
+    calls it."""
+    import jax
+    if jax.process_count() > 1:
+        if jax.process_index() != 0:
+            return None
+        import numpy as np
+        state = jax.tree.map(
+            lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,
+            state)
+    return save_checkpoint(ckpt_dir, state, step, total_limit=total_limit)
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
