@@ -100,6 +100,105 @@ def _free_port():
 
 
 @pytest.mark.slow
+def test_two_process_cli_train_checkpoint_resume(tmp_path):
+    """The PRODUCTION stage-1 trainer CLI, launched as a real 2-process
+    jax.distributed job (VERDICT r4 next-item 1): the CLI's own
+    init_distributed picks up the topology, `--data_parallel 8` spans
+    both processes' devices, and every host-side write (metrics,
+    checkpoints, artifacts) lands exactly once — on process 0. Then a
+    second 2-process launch resumes from the mid-run checkpoint, and a
+    single-process 8-device run of the same recipe reproduces the
+    losses."""
+    worker = os.path.join(os.path.dirname(__file__),
+                          "distributed_cli_worker.py")
+    base_args = [
+        "--smoke", "--smoke_steps", "4", "--checkpointing_steps", "2",
+        "--data_parallel", "8", "--seed", "0",
+        "--instance_prompt", "a sbu dog in szn style",
+        "--content_forward_prompt", "a sbu dog",
+        "--style_forward_prompt", "an image in szn style",
+    ]
+
+    def launch(out_dirs, extra):
+        port = _free_port()
+        procs = []
+        for pid in range(2):
+            env = dict(os.environ)
+            env.update({
+                "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+                "JAX_NUM_PROCESSES": "2",
+                "JAX_PROCESS_ID": str(pid),
+                "JAX_PLATFORMS": "cpu",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            })
+            procs.append(subprocess.Popen(
+                [sys.executable, worker] + base_args + extra
+                + ["--output_dir", out_dirs[pid]],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env))
+        outs = []
+        for p in procs:
+            try:
+                # ~11 min/phase solo (multi-process CPU compiles +
+                # ~100 s/step cross-process steps); margin for suite
+                # contention
+                stdout, _ = p.communicate(timeout=2400)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(stdout)
+        for pid, (p, stdout) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, \
+                f"process {pid} failed:\n{stdout[-4000:]}"
+        return outs
+
+    def read_metrics(out_dir):
+        import json
+        with open(os.path.join(out_dir, "metrics.jsonl")) as f:
+            return [json.loads(line) for line in f]
+
+    d0, d1 = str(tmp_path / "p0"), str(tmp_path / "p1")
+    launch([d0, d1], [])
+
+    # process-0 gating: one artifact set, nothing from process 1
+    assert os.path.isdir(os.path.join(d0, "checkpoints", "checkpoint-2"))
+    assert os.path.isdir(os.path.join(d0, "checkpoints", "checkpoint-4"))
+    assert os.path.exists(os.path.join(
+        d0, "unziplora_content", "pytorch_lora_weights.safetensors"))
+    rows0 = read_metrics(d0)
+    assert not os.path.exists(os.path.join(d1, "metrics.jsonl"))
+    assert not os.path.exists(os.path.join(d1, "checkpoints"))
+    assert not os.path.exists(os.path.join(d1, "unziplora_content"))
+
+    # resume from the mid-run checkpoint, again as 2 processes
+    d2, d3 = str(tmp_path / "p0r"), str(tmp_path / "p1r")
+    outs = launch([d2, d3], [
+        "--resume_from_checkpoint",
+        os.path.join(d0, "checkpoints", "checkpoint-2")])
+    assert "resumed from" in outs[0], outs[0][-2000:]
+    rows_resume = read_metrics(d2)
+    steps_logged = {r["step"] for r in rows_resume if "loss" in r}
+    assert steps_logged == {3}, steps_logged  # started at 2, ran 2..3
+    assert os.path.exists(os.path.join(
+        d2, "unziplora_content", "pytorch_lora_weights.safetensors"))
+
+    # single-process 8-device replay of the same recipe: loss parity
+    from video_style_transfer_tpu.cli import train_unziplora
+    dsp = str(tmp_path / "sp")
+    train_unziplora.main(base_args + ["--output_dir", dsp])
+    rows_sp = read_metrics(dsp)
+
+    def loss_at(rows, step):
+        return next(r["loss"] for r in rows
+                    if r["step"] == step and "loss" in r)
+
+    for step in (0, 3):
+        np.testing.assert_allclose(loss_at(rows0, step),
+                                   loss_at(rows_sp, step), rtol=1e-4)
+
+
+@pytest.mark.slow
 def test_two_process_cpu_training_step(tmp_path):
     """Spawn coordinator + worker; each runs the REAL
     jax.distributed.initialize (via init_distributed's env-var path),

@@ -112,3 +112,18 @@ def test_metrics_logger_images(tmp_path):
     assert lines[-1]["step"] == 3
     assert lines[-1]["validation_images"] == ["validation/both",
                                               "validation/style"]
+
+
+def test_metrics_logger_disabled_writes_nothing(tmp_path):
+    """enabled=False (non-main processes in multi-process training) must
+    not create or write anything — the process-0 gating contract."""
+    import os
+
+    from video_style_transfer_tpu.utils import observability as obs
+
+    d = str(tmp_path / "empty")
+    logger = obs.MetricsLogger(d, enabled=False)
+    logger.log(0, {"loss": 1.0})
+    logger.log_images(0, {"img": __import__("numpy").zeros((2, 2, 3))})
+    logger.close()
+    assert not os.path.exists(d)

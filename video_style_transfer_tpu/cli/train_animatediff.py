@@ -105,6 +105,29 @@ def build_parser():
     p.add_argument("--checkpointing_steps", type=int, default=500)
     p.add_argument("--resume_from_checkpoint", default=None)
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard clips over N devices on the mesh 'data' "
+                        "axis (each device computes --train_batch_size "
+                        "clips — the reference's accelerate-launch DDP "
+                        "semantics). 0 (default): single device, or ALL "
+                        "devices when launched multi-process")
+    p.add_argument("--frame_parallel", type=int, default=1,
+                   help="shard each clip's frame axis over N devices "
+                        "(mesh 'frame' axis): spatial layers run "
+                        "embarrassingly parallel, the motion modules "
+                        "exchange frames via per-batch all-to-alls "
+                        "(models/motion.py; audited 2.3 GB/step at the "
+                        "production shape, benchmarks/"
+                        "collective_volume.py --train). N must divide "
+                        "--num_frames. Composes with --data_parallel "
+                        "(data*frame devices total)")
+    p.add_argument("--coordinator_address", default=None,
+                   help="multi-process JAX coordinator (host:port); "
+                        "with --num_processes/--process_id (or the "
+                        "JAX_COORDINATOR_ADDRESS/... env vars) this is "
+                        "the `accelerate launch` equivalent")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--name", default="animatediff-stage2",
                    help="tracker run/project name (reference "
                         "train_animatediff.py:203,388)")
@@ -118,6 +141,13 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # multi-process init FIRST (before any backend query) — the
+    # reference's Accelerator() process-group init
+    # (train_animatediff.py:53-56); env-var/flag no-op on single host
+    from video_style_transfer_tpu.parallel import distributed as dist
+    dist.init_distributed(args.coordinator_address, args.num_processes,
+                          args.process_id)
+    is_main = dist.is_main_process()
     args.prompt = args.prompt or args.instance_prompt
     if not args.prompt:
         raise SystemExit("need --prompt (or --instance_prompt)")
@@ -135,11 +165,42 @@ def main(argv=None):
         MetricsLogger, StepTimer)
 
     os.makedirs(args.output_dir, exist_ok=True)
+
+    res = args.resolution if not args.smoke else 16
+    f = args.num_frames if not args.smoke else 4
+
+    # ---- device mesh: clips over 'data', frames over 'frame' -----------
+    dp, fp = args.data_parallel, max(args.frame_parallel, 1)
+    if dp == 0:
+        dp = (jax.device_count() // fp
+              if jax.process_count() > 1 else 1)
+    mesh = None
+    if dp * fp > 1:
+        from video_style_transfer_tpu.parallel.mesh import create_mesh
+        ndev = jax.device_count()
+        if dp * fp > ndev:
+            raise SystemExit(f"--data_parallel {dp} x --frame_parallel "
+                             f"{fp} needs {dp * fp} devices; {ndev} "
+                             f"available")
+        if jax.process_count() > 1 and dp * fp != ndev:
+            raise SystemExit(
+                f"multi-process runs must use every device: "
+                f"{dp}x{fp} != {ndev} global devices")
+        if f % fp:
+            raise SystemExit(f"--frame_parallel {fp} must divide the "
+                             f"frame count {f}")
+        mesh = create_mesh(jax.devices()[:dp * fp], data=dp, frame=fp)
+        # first collective NOW, while processes are skew-free — the
+        # Gloo/ICI rendezvous has a ~30 s deadline that a per-process
+        # compile-time difference would blow (see train_unziplora.py)
+        dist.barrier("mesh_ready")
+        if is_main:
+            print(f"mesh training: {dict(mesh.shape)}, "
+                  f"{jax.process_count()} process(es)")
+
     bundle = common.load_models(
         args.pretrained_model_name_or_path, smoke=args.smoke, motion=True,
         dtype=jnp.float32 if args.mixed_precision == "no" else jnp.bfloat16)
-    res = args.resolution if not args.smoke else 16
-    f = args.num_frames if not args.smoke else 4
 
     # ---- stage-1 LoRA: load trained artifacts or random (smoke) --------
     explicit = args.unziplora_content_path and args.unziplora_style_path
@@ -191,15 +252,19 @@ def main(argv=None):
             # smoke stays weights-and-data-free: fall back to synthetic
             print(f"smoke: no readable videos under {args.video_dir}; "
                   "using synthetic clips")
+    # global batch = per-device batch * data-parallel size (every
+    # process builds the identical global batch from the step seed and
+    # contributes its local shards)
+    b_global = args.train_batch_size * dp
     if ds is None:
         def sample_clip(seed):
             return np.asarray(jax.random.uniform(
                 jax.random.PRNGKey(seed),
-                (args.train_batch_size, f, res, res, 3),
+                (b_global, f, res, res, 3),
                 minval=-1.0, maxval=1.0)), None
     else:
         def sample_clip(seed):
-            return ds.sample_batch_meta(args.train_batch_size, seed)
+            return ds.sample_batch_meta(b_global, seed)
 
     # Per-frame posterior-moment cache: consecutive-start clips overlap
     # almost entirely, so after one pass over the video the per-step
@@ -218,9 +283,10 @@ def main(argv=None):
     accum = max(args.gradient_accumulation_steps, 1)
     if args.num_train_epochs is not None:
         # reference accounting (train_animatediff.py:175-182): one epoch
-        # = one pass over the clip-start index
+        # = one pass over the clip-start index; the global batch is
+        # per-device batch x data-parallel size
         n_items = len(ds) if ds is not None else 1
-        batches = max(-(-n_items // args.train_batch_size), 1)
+        batches = max(-(-n_items // (args.train_batch_size * dp)), 1)
         args.max_train_steps = args.num_train_epochs * max(
             -(-batches // accum), 1)
     max_steps = args.smoke_steps or args.max_train_steps
@@ -251,14 +317,25 @@ def main(argv=None):
                 else args.resume_from_checkpoint)
         if path:
             state = ckpt.restore_checkpoint(path, state)
-            print(f"resumed from {path} at step {int(state.step)}")
+            if is_main:
+                print(f"resumed from {path} at step {int(state.step)}")
+
+    if mesh is not None:
+        from video_style_transfer_tpu.parallel.mesh import replicate
+        if jax.process_count() > 1:
+            # restored-checkpoint leaves are committed to local devices;
+            # host numpy first (see train_unziplora.py)
+            state = jax.tree.map(
+                lambda x: np.asarray(x) if isinstance(x, jax.Array)
+                else x, state)
+        state = jax.device_put(state, replicate(mesh))
 
     logger = MetricsLogger(args.output_dir,
                            use_tensorboard=args.report_to == "tensorboard",
                            use_wandb=args.report_to == "wandb",
-                           project=args.name)
+                           project=args.name, enabled=is_main)
     timer = StepTimer()
-    b = args.train_batch_size
+    b = args.train_batch_size * dp
 
     start = int(state.step)
     # fold the resume step in so a resumed run doesn't replay the
@@ -302,23 +379,46 @@ def main(argv=None):
             for k in ("ctx", "pooled", "uncond_ctx", "uncond_pooled",
                       "time_ids"):
                 batch[k] = tile(batch[k])
-        state, metrics = step_fn(state, batch, key)
+        if mesh is None:
+            state, metrics = step_fn(state, batch, key)
+        else:
+            # latents (B, F, ...) shard over (data, frame); everything
+            # else over data. Trace inside the mesh context so the
+            # shard_map motion modules + rowsharded kernels dispatch.
+            from jax.sharding import PartitionSpec as P
+
+            from video_style_transfer_tpu.parallel.mesh import (
+                shard_batch_tree)
+            lead = (None,) if accum > 1 else ()
+
+            def spec_of(k, nd):
+                if k == "latents":
+                    return P(*lead, "data", "frame")
+                return P(*lead, "data")
+
+            batch = shard_batch_tree(mesh, batch, spec_of)
+            with mesh:
+                state, metrics = step_fn(state, batch, key)
         if step % args.log_every == 0 or step == max_steps - 1:
             scalars = {k: float(v) for k, v in metrics.items()}
             scalars["sec_per_step"] = timer.lap() / max(
                 step - last_log_step, 1)
             last_log_step = step
             logger.log(step, scalars)
-            print(f"step {step}: loss={scalars['loss']:.4f} "
-                  f"mse={scalars['loss_mse']:.4f} "
-                  f"orth={scalars['loss_orth']:.6f}")
+            if is_main:
+                print(f"step {step}: loss={scalars['loss']:.4f} "
+                      f"mse={scalars['loss_mse']:.4f} "
+                      f"orth={scalars['loss_orth']:.6f}")
         if (step + 1) % args.checkpointing_steps == 0:
-            ckpt.save_checkpoint(ckpt_dir, state, step + 1)
+            ckpt.save_checkpoint_main_process(ckpt_dir, state, step + 1)
 
-    out = os.path.join(args.output_dir,
-                       f"motion_modules.{args.checkpoint_format}")
-    ckpt.export_motion_checkpoint(out, state.params)
-    print("saved motion checkpoint:", out)
+    if is_main:
+        # process-0-gated final save, like the reference's
+        # save_checkpoint on the main process (train_animatediff.py:335)
+        out = os.path.join(args.output_dir,
+                           f"motion_modules.{args.checkpoint_format}")
+        ckpt.export_motion_checkpoint(out, state.params)
+        print("saved motion checkpoint:", out)
     logger.close()
     return state
 

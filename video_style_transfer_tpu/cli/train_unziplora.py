@@ -100,8 +100,28 @@ def build_parser():
     p.add_argument("--lr_power", type=float, default=1.0,
                    help="polynomial decay power")
     p.add_argument("--scale_lr", action="store_true",
-                   help="multiply LRs by accum * batch * num_processes "
-                        "(reference train_unziplora.py:1525-1543)")
+                   help="multiply LRs by accum * batch * data_parallel "
+                        "(reference train_unziplora.py:1525-1543 scales "
+                        "by num_processes; the mesh 'data' size is the "
+                        "TPU equivalent)")
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard the batch over N devices on the mesh "
+                        "'data' axis (the reference's `accelerate launch "
+                        "--num_processes N` DDP, train.sh:44). Each "
+                        "device computes --train_batch_size rows, so the "
+                        "global batch is batch*N — the DDP semantics. 0 "
+                        "(default): single device, or ALL devices when "
+                        "launched multi-process (jax.distributed "
+                        "topology env vars / --coordinator_address)")
+    p.add_argument("--coordinator_address", default=None,
+                   help="multi-process JAX coordinator (host:port); "
+                        "with --num_processes/--process_id (or the "
+                        "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                        "JAX_PROCESS_ID env vars) this is the "
+                        "`accelerate launch` equivalent "
+                        "(parallel/distributed.py)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--checkpointing_steps", type=int, default=500)
@@ -317,6 +337,13 @@ def _run_validation(args, bundle, state, res, step, logger=None):
 
     val_dir = os.path.join(args.output_dir, "validation")
     os.makedirs(val_dir, exist_ok=True)
+    params, lora_state = state.params, state.lora_state
+    if _jax.process_count() > 1:
+        # called on process 0 only; its jit must not consume global
+        # arrays spanning other processes' devices — fetch the
+        # replicated state to host and generate locally
+        params, lora_state = _jax.tree.map(np.asarray,
+                                           (params, lora_state))
     uncond = common.negative_conditioning(bundle, "", height=res, width=res)
     prompts = {
         "both": args.validation_prompt,
@@ -338,8 +365,8 @@ def _run_validation(args, bundle, state, res, step, logger=None):
             dtype=jnp.float32 if args.smoke else jnp.bfloat16,
             vae_scale_factor=bundle.vae_scale_factor))
         for i in range(max(args.num_validation_images, 1)):
-            imgs = run(state.params, uncond=uncond, cond=cond,
-                       key=_jax.random.PRNGKey(i), state=state.lora_state)
+            imgs = run(params, uncond=uncond, cond=cond,
+                       key=_jax.random.PRNGKey(i), state=lora_state)
             img = jax.device_get(imgs[0])
             suffix = f"_{i}" if args.num_validation_images > 1 else ""
             save_image(img, os.path.join(
@@ -405,6 +432,13 @@ def _ensure_class_images(args, bundle, class_data_dir, class_prompt, res):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # multi-process init FIRST (before any backend query locks the
+    # topology in) — the reference's Accelerator() process-group init
+    # (train_unziplora.py:1129-1139); env-var/flag no-op on single host
+    from video_style_transfer_tpu.parallel import distributed as dist
+    dist.init_distributed(args.coordinator_address, args.num_processes,
+                          args.process_id)
+    is_main = dist.is_main_process()
     if args.train_text_encoder:
         # the reference's own injection path raises too
         # (train_unziplora.py:1424-1425) — text-encoder LoRA is not part
@@ -442,6 +476,41 @@ def main(argv=None):
         MetricsLogger, StepTimer)
 
     os.makedirs(args.output_dir, exist_ok=True)
+
+    # ---- device mesh: batch rows sharded over 'data' -------------------
+    # (the reference's ONLY parallelism is accelerate-launch DDP,
+    # SURVEY.md §2.3; `--data_parallel N` is the one-command equivalent)
+    dp = args.data_parallel
+    if dp == 0:
+        # launched multi-process without an explicit mesh size: use
+        # every device, like accelerate launch uses every process
+        dp = jax.device_count() if jax.process_count() > 1 else 1
+    mesh = None
+    if dp > 1:
+        from video_style_transfer_tpu.parallel.mesh import create_mesh
+        ndev = jax.device_count()
+        if dp > ndev:
+            raise SystemExit(f"--data_parallel {dp} needs {dp} devices; "
+                             f"{ndev} available")
+        if jax.process_count() > 1 and dp != ndev:
+            raise SystemExit(
+                f"multi-process runs must use every device: "
+                f"--data_parallel {dp} != {ndev} global devices (a "
+                f"device subset would leave some processes without "
+                f"mesh membership)")
+        mesh = create_mesh(jax.devices()[:dp], frame=1)
+        # establish the cross-process collective context NOW, while the
+        # processes are skew-free: the first collective performs the
+        # Gloo/ICI rendezvous under a ~30 s deadline, and deferring it
+        # to the first train step puts a multi-minute compile (whose
+        # duration can differ per process) inside that window —
+        # observed as "Gloo context initialization failed:
+        # DEADLINE_EXCEEDED" on the 2-process CPU test
+        dist.barrier("mesh_ready")
+        if is_main:
+            print(f"data-parallel training: mesh {dict(mesh.shape)}, "
+                  f"{jax.process_count()} process(es)")
+
     bundle = common.load_models(
         args.pretrained_model_name_or_path, smoke=args.smoke, motion=False,
         dtype=jnp.float32 if args.mixed_precision == "no" else jnp.bfloat16,
@@ -488,12 +557,20 @@ def main(argv=None):
         if args.class_prompt is None:
             raise SystemExit(
                 "--with_prior_preservation needs --class_prompt")
-        for ddir, pprompt in ((args.class_data_dir, args.class_prompt),
-                              (args.class_data_dir_2, args.class_prompt_2)):
-            if ddir:
-                n = _ensure_class_images(args, bundle, ddir, pprompt, res)
-                if n:
-                    print(f"generated {n} class images under {ddir}")
+        # process 0 generates (local single-device compute); everyone
+        # else waits at the barrier, then all processes load the same
+        # files (reference generates under main_process_first,
+        # train_unziplora.py:1166-1227)
+        if is_main:
+            for ddir, pprompt in ((args.class_data_dir, args.class_prompt),
+                                  (args.class_data_dir_2,
+                                   args.class_prompt_2)):
+                if ddir:
+                    n = _ensure_class_images(args, bundle, ddir, pprompt,
+                                             res)
+                    if n:
+                        print(f"generated {n} class images under {ddir}")
+        dist.barrier("class_images")
     priors = {}
     for branch, ddir, pprompt in (
             ("content", args.class_data_dir, args.class_prompt),
@@ -532,15 +609,19 @@ def main(argv=None):
     # num_update_steps_per_epoch = ceil(len(dataloader) / accum), with
     # the dataset repeated --repeats times
     n_items = len(images) * max(args.repeats, 1)
-    batches_per_epoch = max(-(-n_items // args.train_batch_size), 1)
+    # global batch = per-device batch * data-parallel size (the
+    # reference's DDP consumes train_batch_size rows PER PROCESS, so
+    # its dataloader length divides by num_processes too)
+    batches_per_epoch = max(-(-n_items // (args.train_batch_size * dp)), 1)
     updates_per_epoch = max(-(-batches_per_epoch // accum), 1)
     if args.num_train_epochs is not None:
         args.max_train_steps = args.num_train_epochs * updates_per_epoch
     max_steps = args.smoke_steps or args.max_train_steps
 
     if args.scale_lr:
-        # reference train_unziplora.py:1525-1543
-        scale = accum * args.train_batch_size * jax.process_count()
+        # reference train_unziplora.py:1525-1543 (num_processes -> the
+        # mesh 'data' size: devices are the DDP workers here)
+        scale = accum * args.train_batch_size * dp
         args.content_learning_rate *= scale
         args.style_learning_rate *= scale
         args.weight_learning_rate *= scale
@@ -595,19 +676,34 @@ def main(argv=None):
                 else args.resume_from_checkpoint)
         if path:
             state = ckpt.restore_checkpoint(path, state)
-            print(f"resumed from {path} at step {int(state.step)}")
+            if is_main:
+                print(f"resumed from {path} at step {int(state.step)}")
+
+    if mesh is not None:
+        from video_style_transfer_tpu.parallel.mesh import replicate
+        if jax.process_count() > 1:
+            # a restored checkpoint's leaves are COMMITTED to local
+            # devices; device_put from there to a global sharding is a
+            # cross-host transfer (unsupported on CPU, DCN-config on
+            # TPU). Going through host numpy makes every process
+            # contribute its full local value instead.
+            state = jax.tree.map(
+                lambda x: np.asarray(x) if isinstance(x, jax.Array)
+                else x, state)
+        state = jax.device_put(state, replicate(mesh))
 
     log_dir = (os.path.join(args.output_dir, args.logging_dir)
                if args.logging_dir else args.output_dir)
     logger = MetricsLogger(log_dir,
                            use_tensorboard=args.report_to == "tensorboard",
                            use_wandb=args.report_to == "wandb",
-                           project=args.name)
+                           project=args.name, enabled=is_main)
     timer = StepTimer()
     # with accumulation, one optimizer step consumes accum micro-batches
-    # of --train_batch_size rows each; leaves are built flat then
-    # reshaped to a leading (accum,) axis the scanned step consumes
-    b = args.train_batch_size * accum
+    # of --train_batch_size (x data_parallel) rows each; leaves are
+    # built flat then reshaped to a leading (accum,) axis the scanned
+    # step consumes
+    b = args.train_batch_size * dp * accum
 
     n = moments[0].shape[0]
     start = int(state.step)
@@ -646,9 +742,23 @@ def main(argv=None):
             }
         if accum > 1:
             batch = jax.tree.map(
-                lambda x: x.reshape((accum, args.train_batch_size)
+                lambda x: x.reshape((accum, args.train_batch_size * dp)
                                     + x.shape[1:]), batch)
-        state, metrics = step_fn(state, batch, key)
+        if mesh is None:
+            state, metrics = step_fn(state, batch, key)
+        else:
+            # shard the (identically-built-everywhere) host batch over
+            # 'data' and step inside the mesh context (trace-time mesh
+            # dispatch for the rowsharded Pallas kernels)
+            from jax.sharding import PartitionSpec as P
+
+            from video_style_transfer_tpu.parallel.mesh import (
+                shard_batch_tree)
+            lead = (None,) if accum > 1 else ()
+            batch = shard_batch_tree(mesh, batch,
+                                     lambda k, nd: P(*lead, "data"))
+            with mesh:
+                state, metrics = step_fn(state, batch, key)
         if step % 10 == 0 or step == max_steps - 1:
             scalars = {k: float(v) for k, v in metrics.items()}
             scalars["sec_per_step"] = timer.lap() / max(
@@ -662,11 +772,13 @@ def main(argv=None):
                 scalars.update(lora_norm_log(state.params, branch))
                 scalars.update(lora_merge_log(state.params, branch))
             logger.log(step, scalars)
-            print(f"step {step}: loss={scalars['loss']:.4f}")
+            if is_main:
+                print(f"step {step}: loss={scalars['loss']:.4f}")
         if (step + 1) % args.checkpointing_steps == 0:
-            ckpt.save_checkpoint(ckpt_dir, state, step + 1,
-                                 total_limit=args.checkpoints_total_limit)
-        if (args.validation_prompt
+            ckpt.save_checkpoint_main_process(
+                ckpt_dir, state, step + 1,
+                total_limit=args.checkpoints_total_limit)
+        if (args.validation_prompt and is_main
                 and (step + 1) % args.validation_epochs == 0):
             if args.with_image_per_validation:
                 _run_validation(args, bundle, state, res, step + 1,
@@ -680,7 +792,7 @@ def main(argv=None):
                 ckpt.export_stage1_artifacts(vdir, args.name,
                                              state.params,
                                              state.lora_state)
-        if args.with_grad_record and sep.enabled:
+        if args.with_grad_record and sep.enabled and is_main:
             # at each column-selection step the schedule just refreshed
             # the cone scores in lora_state — dump them for the offline
             # cone CLI (reference grad records, train_unziplora.py:2245)
@@ -702,7 +814,12 @@ def main(argv=None):
                 np.savez(os.path.join(rec_dir, f"step{step + 1}.npz"),
                          **rec)
 
-    # ---- final artifacts (reference format) ---------------------------
+    # ---- final artifacts (reference format; process 0 writes, like the
+    # reference's is_main_process-gated final save,
+    # train_unziplora.py:2385) ------------------------------------------
+    if not is_main:
+        logger.close()
+        return state
     paths = ckpt.export_stage1_artifacts(args.output_dir, args.name,
                                          state.params, state.lora_state)
     print("saved artifacts:", paths)

@@ -45,3 +45,24 @@ def init_distributed(coordinator_address: Optional[str] = None,
         coordinator_address=coordinator_address,
         num_processes=num_processes, process_id=process_id)
     return True
+
+
+def is_main_process() -> bool:
+    """True on the one process allowed to touch the filesystem
+    (checkpoints, metrics, artifacts, validation images) — the
+    reference gates the same writes on accelerator.is_main_process
+    (train_unziplora.py:2187,2385)."""
+    import jax
+    return jax.process_index() == 0
+
+
+def barrier(name: str) -> None:
+    """Cross-process rendezvous (no-op single-process): used after a
+    main-process-only filesystem write that later steps on every
+    process read back (e.g. generated prior-preservation class images,
+    a checkpoint to resume from). The reference's equivalent is
+    accelerator.wait_for_everyone (train_unziplora.py:2384)."""
+    import jax
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)

@@ -142,6 +142,30 @@ def rowsharded_kernel(fn, x, *args, n_row_args: int = 0):
                      out_specs=spec, check_vma=False)(x, *args)
 
 
+def make_global_array(mesh: Mesh, spec: P, arr):
+    """Host array (identical on every process) -> sharded global
+    jax.Array. `jax.device_put` with a NamedSharding only accepts
+    addressable devices, so multi-process trainers build global batches
+    through `make_array_from_callback`: every process holds the full
+    host batch (deterministic from the step seed) and contributes its
+    local shards. Single-process this is equivalent to device_put."""
+    arr = np.asarray(arr)
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
+def shard_batch_tree(mesh: Mesh, batch, spec_of):
+    """Shard every array leaf of a (possibly nested-dict) batch built
+    identically on all processes. ``spec_of(key, ndim)`` returns the
+    PartitionSpec for a leaf under dict key `key`."""
+    def walk(node, key):
+        if isinstance(node, dict):
+            return {k: walk(v, k) for k, v in node.items()}
+        return make_global_array(mesh, spec_of(key, np.ndim(node)), node)
+    return walk(batch, None)
+
+
 def context_constraint(x, *spec):
     """`lax.with_sharding_constraint(x, P(*spec))` iff an enclosing
     `with mesh:` context defines every named axis and their product is

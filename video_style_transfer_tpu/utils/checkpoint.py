@@ -61,19 +61,44 @@ def save_checkpoint_main_process(ckpt_dir: str, state: Any, step: int, *,
     """Multi-process-safe checkpoint write: only process 0 touches the
     filesystem (the reference gates on accelerator.is_main_process,
     train_unziplora.py:2187); other processes return None immediately.
-    Replicated device arrays are fetched to host first — handing orbax
-    a multi-process global jax.Array would trigger its collective
-    multi-host save protocol, which deadlocks when only one process
-    calls it."""
+
+    Two multi-process traps this codifies (both observed as hangs of
+    the 2-process CLI test):
+      - a default orbax checkpointer runs cross-process commit barriers
+        inside save(), so a process-0-only call deadlocks; the
+        checkpointer here is built with
+        MultiprocessingOptions(active_processes={0}) so process 0 saves
+        alone, barrier-free;
+      - replicated global jax.Arrays are fetched to host numpy first —
+        orbax would otherwise try its per-process ocdbt sharded write,
+        which assumes one SHARED checkpoint directory across hosts."""
     import jax
-    if jax.process_count() > 1:
-        if jax.process_index() != 0:
-            return None
-        import numpy as np
-        state = jax.tree.map(
-            lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,
-            state)
-    return save_checkpoint(ckpt_dir, state, step, total_limit=total_limit)
+    if jax.process_count() <= 1:
+        return save_checkpoint(ckpt_dir, state, step,
+                               total_limit=total_limit)
+    if jax.process_index() != 0:
+        return None
+    import numpy as np
+    import orbax.checkpoint as ocp
+    state = jax.tree.map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,
+        state)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.abspath(os.path.join(ckpt_dir, f"checkpoint-{step}"))
+    ckptr = ocp.AsyncCheckpointer(
+        ocp.StandardCheckpointHandler(),
+        multiprocessing_options=ocp.options.MultiprocessingOptions(
+            primary_host=0, active_processes={0}))
+    ckptr.save(path, args=ocp.args.StandardSave(state))
+    ckptr.wait_until_finished()
+    if total_limit is not None:
+        existing = sorted(
+            (d for d in os.listdir(ckpt_dir) if
+             re.fullmatch(r"checkpoint-\d+", d)),
+            key=lambda d: int(d.split("-")[1]))
+        while len(existing) > total_limit:
+            shutil.rmtree(os.path.join(ckpt_dir, existing.pop(0)))
+    return path
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:

@@ -134,12 +134,23 @@ class MetricsLogger:
     availability, mirroring the reference's accelerate trackers)."""
 
     def __init__(self, log_dir: str, *, use_tensorboard: bool = False,
-                 use_wandb: bool = False, project: str = "vst-tpu"):
+                 use_wandb: bool = False, project: str = "vst-tpu",
+                 enabled: bool = True):
+        """enabled=False turns every sink into a no-op (nothing is
+        opened or written) — multi-process trainers pass
+        `enabled=is_main_process()` so only process 0 writes, like the
+        reference's is_main_process-gated trackers
+        (train_unziplora.py:1867-1890)."""
+        self.enabled = enabled
+        self._f = None
+        self._tb = None
+        self._wandb = None
+        if not enabled:
+            self.path = None
+            return
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, "metrics.jsonl")
         self._f = open(self.path, "a")
-        self._tb = None
-        self._wandb = None
         if use_tensorboard:
             try:
                 from torch.utils.tensorboard import SummaryWriter
@@ -156,6 +167,8 @@ class MetricsLogger:
                 pass
 
     def log(self, step: int, scalars: Dict[str, float]):
+        if not self.enabled:
+            return
         clean = {k: float(v) for k, v in scalars.items()}
         self._f.write(json.dumps({"step": int(step), "time": time.time(),
                                   **clean}) + "\n")
@@ -172,6 +185,8 @@ class MetricsLogger:
         train_unziplora.py:2329-2340). images: name -> (H, W, 3) uint8
         or float [0, 1] array. No-op for the JSONL sink (paths are
         logged as scalar-less entries instead)."""
+        if not self.enabled:
+            return
         import numpy as np
         for name, img in images.items():
             arr = np.asarray(img)
@@ -188,7 +203,8 @@ class MetricsLogger:
         self._f.flush()
 
     def close(self):
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
         if self._tb is not None:
             self._tb.close()
         if self._wandb is not None:
