@@ -184,3 +184,55 @@ def test_decode_bf16_close_to_fp32():
     # wrong-scale or overflowed decode outright
     assert diff.mean() < 3.0, diff.mean()
     assert np.percentile(diff, 99) < 16, np.percentile(diff, 99)
+
+
+def test_chunked_denoise_matches_scan():
+    """generate_video_latents_chunked (the single-chip F=32 HBM
+    fallback, VERDICT r4 next-item 5) must reproduce the one-program
+    scan sampler exactly — same Euler math, chunk boundaries only
+    change where the host resumes the chain."""
+    from video_style_transfer_tpu.pipelines.video import (
+        generate_video_latents_chunked)
+
+    ucfg, up, vcfg, vp = _models(motion=True)
+    uncond, cond = _cond(1, ucfg, 0), _cond(1, ucfg, 1)
+    kw = dict(num_frames=4, height=RES, width=RES, num_steps=6,
+              mode="base", dtype=jnp.float32, vae_scale_factor=2)
+    ref = generate_video_latents(up, ucfg, uncond, cond,
+                                 jax.random.PRNGKey(3), **kw)
+    for spc in (1, 2, 3):
+        got = generate_video_latents_chunked(
+            up, ucfg, uncond, cond, jax.random.PRNGKey(3),
+            steps_per_call=spc, **kw)
+        # rtol covers XLA fusion drift between the two program
+        # shapes (same math, different fusion boundaries)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4), spc
+    # a non-divisor chunk falls back to the gcd instead of mis-stepping
+    got = generate_video_latents_chunked(
+        up, ucfg, uncond, cond, jax.random.PRNGKey(3),
+        steps_per_call=4, **kw)  # gcd(6, 4) = 2
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_resolve_steps_per_call_policy():
+    """The CLI's F=32 single-chip guard: auto per-step fallback exactly
+    when a 32-frame full-res request would OOM the one-program scan."""
+    from video_style_transfer_tpu.cli.infer_video import (
+        resolve_steps_per_call)
+
+    # explicit request always wins
+    assert resolve_steps_per_call(5, frames=32, res=1024, steps=30,
+                                  frame_parallel=False) == 5
+    assert resolve_steps_per_call(0, frames=32, res=1024, steps=30,
+                                  frame_parallel=False) == 0
+    # the OOM configuration: F>=32 at >=1024^2 on one chip
+    assert resolve_steps_per_call(None, frames=32, res=1024, steps=30,
+                                  frame_parallel=False) == 1
+    # frame-parallel meshes shard the memory away -> keep the scan
+    assert resolve_steps_per_call(None, frames=32, res=1024, steps=30,
+                                  frame_parallel=True) == 0
+    # the headline F=16 single-chip protocol keeps the scan
+    assert resolve_steps_per_call(None, frames=16, res=1024, steps=30,
+                                  frame_parallel=False) == 0

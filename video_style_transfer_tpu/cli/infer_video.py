@@ -6,6 +6,7 @@ as the benchmark workload default."""
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 
 import jax
@@ -81,8 +82,40 @@ def build_parser():
                         "the fp32 VAE decode shards per frame — the "
                         "production v5e-8 serving layout (N must divide "
                         "--num_frames)")
+    p.add_argument("--steps_per_call", type=int, default=None,
+                   help="single-chip long-video fallback: run the "
+                        "denoise as jitted N-step chunks chained from "
+                        "the host instead of one scanned program. "
+                        "Default: full scan, EXCEPT frames >= 32 at "
+                        "res >= 1024 without --frame_parallel, where "
+                        "the one-program form exceeds a 16 GB chip at "
+                        "compile (PERF.md round 4) — there it "
+                        "auto-selects 1 and says so. 0 forces the full "
+                        "scan")
     p.add_argument("--smoke", action="store_true")
     return p
+
+
+def resolve_steps_per_call(requested, *, frames: int, res: int,
+                           steps: int, frame_parallel: bool,
+                           smoke: bool = False):
+    """Chunked-denoise decision (VERDICT r4 next-item 5): returns the
+    steps-per-call (0 = one scanned program). A 32-frame 1024^2 request
+    on ONE chip compiles >16 GB as a single scan (64 CFG rows + the
+    frame-repeated KV cache), so it falls back to per-step chunks
+    rather than dying in the compiler; frame-parallel meshes shard the
+    memory away and keep the scan."""
+    if requested is not None:
+        return max(requested, 0)
+    if smoke or frame_parallel:
+        return 0
+    if frames >= 32 and res >= 1024:
+        print(f"note: {frames} frames at {res}^2 on one chip exceeds "
+              f"HBM as a single scanned program; running the denoise "
+              f"as per-step jitted calls (--steps_per_call 1; shard "
+              f"with --frame_parallel N to keep the one-program scan)")
+        return 1
+    return 0
 
 
 def main(argv=None):
@@ -200,7 +233,30 @@ def main(argv=None):
         dtype = (jnp.float32 if (args.smoke or args.mixed_precision
                                  == "no") else jnp.bfloat16)
 
-        if mesh is None:
+        spc = resolve_steps_per_call(
+            args.steps_per_call, frames=frames, res=max(height, width),
+            steps=steps, frame_parallel=mesh is not None,
+            smoke=args.smoke)
+        if mesh is None and spc and spc < steps:
+            # chunked single-chip protocol: host-chained jitted k-step
+            # denoise + one jitted decode program (identical math to the
+            # scan; tests/test_pipelines.py pins the equality)
+            from video_style_transfer_tpu.pipelines.video import (
+                decode_video, generate_video_latents_chunked)
+
+            def run_fn(p, u, c, key, m=mode):
+                lat = generate_video_latents_chunked(
+                    p, bundle.unet_cfg, u, c, key, num_frames=frames,
+                    height=height, width=width, num_steps=steps,
+                    steps_per_call=spc, cfg_scale=args.guidance_scale,
+                    mode=m, state=state, dtype=dtype,
+                    vae_scale_factor=bundle.vae_scale_factor)
+                dec = jax.jit(functools.partial(
+                    decode_video, vae_cfg=bundle.vae_cfg,
+                    chunk=1 if not args.smoke else frames,
+                    dtype=jnp.dtype(args.vae_dtype)))
+                return dec(bundle.vae, latents=lat)
+        elif mesh is None:
             def run_fn(p, u, c, key, m=mode):
                 return generate_video(
                     p, bundle.unet_cfg, bundle.vae, bundle.vae_cfg, u, c,
@@ -237,7 +293,11 @@ def main(argv=None):
 
             fparams = jax.device_put(
                 fparams, NamedSharding(mesh, P()))
-        run = jax.jit(run_fn)
+        # the chunked path drives its own jitted k-step programs from
+        # the host — wrapping it in an outer jit would inline the whole
+        # denoise back into one program, recreating the OOM it avoids
+        chunked = mesh is None and spc and spc < steps
+        run = run_fn if chunked else jax.jit(run_fn)
         if mesh is None:
             video = run(fparams, uncond, cond,
                         jax.random.PRNGKey(args.seed))

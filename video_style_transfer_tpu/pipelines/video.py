@@ -44,6 +44,68 @@ def generate_video_latents(unet_params, unet_cfg, uncond: Conditioning,
         vae_scale_factor=vae_scale_factor)
 
 
+def generate_video_latents_chunked(unet_params, unet_cfg,
+                                   uncond: Conditioning, cond: Conditioning,
+                                   key, *, num_frames: int = 16,
+                                   height: int = 1024, width: int = 1024,
+                                   num_steps: int = 30,
+                                   steps_per_call: int = 1,
+                                   cfg_scale: float = 7.5,
+                                   mode: str = "both", state=None,
+                                   impl: str = "auto", dtype=jnp.bfloat16,
+                                   sched=None, vae_scale_factor: int = 8):
+    """Single-chip HBM fallback for long-frame videos.
+
+    The one-program lax.scan denoise at F=32 (64 CFG rows plus the
+    frame-repeated cross-attention KV cache) exceeds a 16 GB chip at
+    compile time (PERF.md round 4). This runs the SAME Euler math in
+    jitted `steps_per_call`-step chunks chained from the host: peak
+    live memory is one chunk's, at num_steps/steps_per_call extra
+    dispatches. The cross-attn KV cache is rebuilt once per chunk (it
+    lives only for the chunk's execution). Identical output to
+    `generate_video_latents` — pinned by
+    tests/test_pipelines.py::test_chunked_denoise_matches_scan.
+    Multi-chip serving shards the frame axis instead (--frame_parallel)
+    and keeps the one-program scan."""
+    from video_style_transfer_tpu.pipelines.sampling import (
+        make_cfg_denoiser)
+    from video_style_transfer_tpu.schedulers.ddpm import make_schedule
+    from video_style_transfer_tpu.schedulers.euler import (
+        euler_step, euler_timetable, scale_model_input)
+
+    if sched is None:
+        sched = make_schedule()
+    table = euler_timetable(sched, num_steps)
+    k = max(steps_per_call, 1)
+    if num_steps % k:
+        k = math.gcd(num_steps, k)
+    lat_shape = (num_frames, height // vae_scale_factor,
+                 width // vae_scale_factor, unet_cfg.in_channels)
+    x = jax.random.normal(key, lat_shape, dtype) \
+        * table["init_sigma"].astype(dtype)
+    sig = jnp.asarray(table["sigmas"], jnp.float32)
+    ts = jnp.asarray(table["timesteps"], jnp.float32)
+
+    @jax.jit
+    def k_steps(p, x, sigs, tss):
+        eps_fn = make_cfg_denoiser(
+            p, unet_cfg, uncond, cond, cfg_scale=cfg_scale, mode=mode,
+            state=state, num_frames=num_frames, impl=impl, dtype=dtype)
+
+        def body(x_, i):
+            model_in = scale_model_input(x_, sigs[i])
+            eps = eps_fn(model_in, tss[i])
+            return euler_step(x_, eps, sigs[i], sigs[i + 1]), None
+
+        x2, _ = jax.lax.scan(body, x, jnp.arange(k))
+        return x2
+
+    for i in range(num_steps // k):
+        x = k_steps(unet_params, x, sig[i * k: i * k + k + 1],
+                    ts[i * k: i * k + k])
+    return x
+
+
 def decode_video(vae_params, vae_cfg, latents, *, chunk: int = 1,
                  dtype=jnp.float32):
     """Per-frame fp32 VAE decode (reference inference_animatediff.py:
