@@ -161,7 +161,12 @@ def main():
     if flops:
         perf = {"tflops": round(flops / 1e12, 2),
                 "tflops_per_s": round(flops / sec / 1e12, 2),
-                "mfu": round(flops / sec / 197e12, 4)}  # v5e bf16 peak
+                "mfu": round(flops / sec / 197e12, 4),  # v5e bf16 peak
+                # cost analysis counts XLA ops only; Pallas custom
+                # calls (flash fwd+bwd, GEGLU, temporal) report zero
+                # flops, so true MFU is HIGHER (see bench.py's
+                # analytic pallas model for the serving path)
+                "flops_model": "xla_cost_analysis_excl_pallas"}
     print(json.dumps({
         "metric": f"stage1_train_step_b{args.batch}_{res}px_"
                   f"{args.dtype}_sec",

@@ -20,6 +20,13 @@ import json
 import time
 
 import jax
+
+# the container sitecustomize force-registers the TPU plugin via
+# jax.config.update, overriding a JAX_PLATFORMS=cpu env var; honor the
+# env var (CPU smoke runs) before any backend query locks it in
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 
@@ -32,7 +39,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--res", type=int, default=1024)
-    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--trials", type=int, default=5,
+                    help="min-of-N protocol (N>=5 resolves sub-5% deltas\n                         through the tunnel spread; PERF.md round 5)")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "xla", "pallas"])
@@ -143,6 +151,26 @@ def main():
         times.append(time.time() - t0)
 
     sec = min(times)
+    # MFU from the compiled step's own cost analysis (the AOT compile
+    # dedupes against the warm call through the persistent cache)
+    try:
+        ca = jit_step.lower(st, batch_for(0),
+                            jax.random.PRNGKey(0)).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        flops = None
+    perf = {}
+    if flops:
+        perf = {"tflops": round(flops / 1e12, 2),
+                "tflops_per_s": round(flops / sec / 1e12, 2),
+                "mfu": round(flops / sec / 197e12, 4),  # v5e bf16 peak
+                # cost analysis counts XLA ops only; Pallas custom
+                # calls (flash fwd+bwd, GEGLU, temporal) report zero
+                # flops, so true MFU is HIGHER (see bench.py's
+                # analytic pallas model for the serving path)
+                "flops_model": "xla_cost_analysis_excl_pallas"}
     print(json.dumps({
         "metric": f"stage2_train_step_{f}f_{res}px_sec",
         "value": round(sec, 4),
@@ -150,6 +178,8 @@ def main():
         "impl": args.impl,
         "remat": remat,
         "all_trials": [round(x, 4) for x in times],
+        "spread": round(max(times) - sec, 4),
+        **perf,
     }))
 
 
