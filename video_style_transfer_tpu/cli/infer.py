@@ -76,6 +76,14 @@ def build_parser():
                         "(parallel/tensor.py); must divide the device "
                         "count; the 'data' axis is sized by --dp and "
                         "devices beyond dp*tp are left unused")
+    p.add_argument("--coordinator_address", default=None,
+                   help="multi-process JAX coordinator (host:port) — "
+                        "with --num_processes/--process_id (or the "
+                        "JAX_COORDINATOR_ADDRESS/... env vars) serving "
+                        "spans a pod's devices; process 0 writes the "
+                        "images")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--dp", type=int, default=1,
                    help="sample-parallel serving: generate dp images per "
                         "call (one (seed, draw) job per 'data'-axis "
@@ -105,6 +113,12 @@ def main(argv=None, bundle=None):
     stage, cli/verify_parity.py) pass it through so the 10 GB checkpoint
     is read and converted once, not twice."""
     args = build_parser().parse_args(argv)
+    # multi-process init first (no-op single host); lets --dp/--tp span
+    # a pod's global devices like the trainer CLIs
+    from video_style_transfer_tpu.parallel import distributed as dist
+    dist.init_distributed(args.coordinator_address, args.num_processes,
+                          args.process_id)
+    is_main = dist.is_main_process()
     from video_style_transfer_tpu.cli import common
     from video_style_transfer_tpu.data.video_io import save_image
     common.enable_compile_cache(args.compilation_cache_dir)
@@ -185,8 +199,15 @@ def main(argv=None, bundle=None):
         if len(devs) < need:
             raise SystemExit(f"--dp {dp} x --tp {args.tp} needs {need} "
                              f"devices; {len(devs)} available")
+        if jax.process_count() > 1 and need != len(devs):
+            raise SystemExit(
+                f"multi-process runs must use every device: --dp {dp} x "
+                f"--tp {max(args.tp, 1)} != {len(devs)} global devices")
         mesh = create_mesh(devs[:need], data=dp, frame=1,
                            model=args.tp if args.tp > 1 else 0)
+        # first collective while processes are skew-free (Gloo/ICI
+        # rendezvous deadline; see cli/train_unziplora.py)
+        dist.barrier("serve_mesh_ready")
         if args.tp > 1:
             from video_style_transfer_tpu.parallel.tensor import \
                 shard_params_tp
@@ -219,7 +240,13 @@ def main(argv=None, bundle=None):
         return decode_images(bundle.vae, bundle.vae_cfg, lat,
                              dtype=jnp.dtype(args.vae_dtype))
 
-    run = jax.jit(_gen)
+    if mesh is not None and jax.process_count() > 1:
+        # replicate the output so every process can fetch its images
+        # locally (a 'data'-sharded output is not fully addressable)
+        from video_style_transfer_tpu.parallel.mesh import replicate
+        run = jax.jit(_gen, out_shardings=replicate(mesh))
+    else:
+        run = jax.jit(_gen)
     # trace/execute inside the mesh context when one exists so
     # parallel.mesh.context_mesh() consumers (the rowsharded Pallas
     # wrappers, context_constraint pins) see it — without the context
@@ -242,6 +269,8 @@ def main(argv=None, bundle=None):
         karg = keys[0] if dp == 1 else jnp.stack(keys)
         with mesh_ctx:
             imgs = jax.device_get(run(params, uncond, cond, karg))
+        if not is_main:
+            continue  # process-0-gated writes, like the trainers
         if args.watermark:
             from video_style_transfer_tpu.utils.watermark import \
                 apply_watermark

@@ -74,6 +74,16 @@ def build_parser():
                         "(pixel noise sub-1% of range; PERF.md)")
     p.add_argument("--fps", type=int, default=8)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--coordinator_address", default=None,
+                   help="multi-process JAX coordinator (host:port) — "
+                        "with --num_processes/--process_id (or the "
+                        "JAX_COORDINATOR_ADDRESS/... env vars) "
+                        "--frame_parallel spans a pod's devices; "
+                        "process 0 writes the videos (the 2-process "
+                        "serving leg of tests/test_distributed.py "
+                        "exercises this path's collectives)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--frame_parallel", type=int, default=1,
                    help="shard the frame axis over N devices (an "
                         "all-'frame' mesh): spatial layers run "
@@ -120,6 +130,11 @@ def resolve_steps_per_call(requested, *, frames: int, res: int,
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # multi-process init first (no-op single host)
+    from video_style_transfer_tpu.parallel import distributed as dist
+    dist.init_distributed(args.coordinator_address, args.num_processes,
+                          args.process_id)
+    is_main = dist.is_main_process()
     args.prompt = args.prompt or args.instance_prompt
     if not args.prompt:
         raise SystemExit("need --prompt (or --instance_prompt)")
@@ -212,9 +227,18 @@ def main(argv=None):
             # frame's work per short shard
             print(f"note: --num_frames {frames} not divisible by "
                   f"--frame_parallel {n}; last shard is padded")
+        if jax.process_count() > 1 and n != len(jax.devices()):
+            raise SystemExit(
+                f"multi-process runs must use every device: "
+                f"--frame_parallel {n} != {len(jax.devices())} global "
+                f"devices")
         mesh = create_mesh(jax.devices()[:n])  # every device on 'frame'
+        # first collective while processes are skew-free (Gloo/ICI
+        # rendezvous deadline; see cli/train_unziplora.py)
+        dist.barrier("serve_mesh_ready")
         bundle.vae = jax.device_put(bundle.vae, replicate(mesh))
-        print(f"frame-parallel serving: mesh {dict(mesh.shape)}")
+        if is_main:
+            print(f"frame-parallel serving: mesh {dict(mesh.shape)}")
 
     outs = []
     for mode in args.modes:
@@ -297,7 +321,16 @@ def main(argv=None):
         # the host — wrapping it in an outer jit would inline the whole
         # denoise back into one program, recreating the OOM it avoids
         chunked = mesh is None and spc and spc < steps
-        run = run_fn if chunked else jax.jit(run_fn)
+        if chunked:
+            run = run_fn
+        elif mesh is not None and jax.process_count() > 1:
+            # replicate the frames so every process fetches locally (a
+            # 'frame'-sharded output is not fully addressable)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            run = jax.jit(run_fn,
+                          out_shardings=NamedSharding(mesh, P()))
+        else:
+            run = jax.jit(run_fn)
         if mesh is None:
             video = run(fparams, uncond, cond,
                         jax.random.PRNGKey(args.seed))
@@ -312,6 +345,8 @@ def main(argv=None):
             with mesh:
                 video = run(fparams, uncond, cond,
                             jax.random.PRNGKey(args.seed))
+        if not is_main:
+            continue  # process-0-gated writes, like the trainers
         path = save_video(list(jax.device_get(video)),
                           os.path.join(args.output_dir, f"{mode}.mp4"),
                           fps=args.fps)
