@@ -28,7 +28,7 @@ def main():
         pass
 
     import bench
-    execute = bench.build_decode(tiny=False, frames=1, res=1024)
+    execute, _flops = bench.build_decode(tiny=False, frames=1, res=1024)
     execute(0)
 
     logdir = tempfile.mkdtemp(prefix="vst_dec_trace_")

@@ -40,7 +40,7 @@ def main():
         pass
 
     import bench  # repo-root bench harness
-    execute = bench.build(
+    execute, _flops = bench.build(
         frames=4 if args.tiny else args.frames,
         res=16 if args.tiny else args.res,
         steps=2, tiny=args.tiny, scan=False, workload=args.workload,
